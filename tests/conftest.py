@@ -1,0 +1,33 @@
+"""Test harness configuration.
+
+Tests run on CPU with a virtual 8-device mesh so multi-chip sharding code
+paths compile and execute without TPU hardware.  A persistent JAX
+compilation cache keeps the (one-time) SCL scan compilation out of every
+test run.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/echoseal_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def key32() -> bytes:
+    return bytes.fromhex("aa" * 32)
+
+
+@pytest.fixture(scope="session")
+def rng() -> np.random.Generator:
+    return np.random.default_rng(0xE5EA1)
