@@ -27,7 +27,7 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.signal import butter, lfilter
+from scipy.signal import butter, lfilter, sosfilt
 
 from echoseal_tpu.core.bandplan import BAND_PLAN
 from echoseal_tpu.core.sequences import bits_to_bpsk, mls63
@@ -42,6 +42,25 @@ def butter_coeffs(lo: float, hi: float, fs: int) -> tuple[np.ndarray, np.ndarray
     nyq = 0.5 * fs
     b, a = butter(IIR_ORDER, [lo / nyq, hi / nyq], "band")
     return np.asarray(b), np.asarray(a)
+
+
+@lru_cache(maxsize=64)
+def butter_sos(lo: float, hi: float, fs: int) -> np.ndarray:
+    """(4, 6) float64 second-order sections of the same band-pass.
+
+    Numerically equivalent to ``butter_coeffs`` but far better conditioned in
+    float32 -- the device IIR path uses this cascade form so a single-pass
+    f32 scan tracks the reference's float64 direct form to ~1e-6.
+    """
+    nyq = 0.5 * fs
+    return butter(IIR_ORDER, [lo / nyq, hi / nyq], "band", output="sos")
+
+
+def all_band_sos(fs: int) -> np.ndarray:
+    """Stacked (4, 4, 6) float32 SOS for the whole band plan."""
+    return np.stack(
+        [butter_sos(lo, hi, fs).astype(np.float32) for lo, hi in BAND_PLAN]
+    )
 
 
 @lru_cache(maxsize=64)
@@ -126,6 +145,47 @@ def iir_apply(b, a, x, zi=None):
             [z[..., 1:], jnp.zeros_like(z[..., :1])], axis=-1
         )
         return z_shift + b_rest * xt[..., None] - a_rest * y[..., None], y
+
+    zf, ys = jax.lax.scan(step, z0, xs)
+    return jnp.moveaxis(ys, 0, -1), zf
+
+
+def sos_apply(sos, x, zi=None):
+    """Cascaded-biquad IIR on device (scipy ``sosfilt`` semantics).
+
+    ``sos``: (..., S, 6) sections, broadcastable against ``x``'s batch axes.
+    ``x``:   (..., T).  Returns (y, zf) with zf shaped (..., S, 2).
+    One ``lax.scan`` over time executes all S sections per step; the batch
+    rides the vector lanes.
+    """
+    sos = jnp.asarray(sos, dtype=x.dtype)
+    n_sections = sos.shape[-2]
+    batch_shape = x.shape[:-1]
+    if zi is None:
+        z0 = jnp.zeros(batch_shape + (n_sections, 2), dtype=x.dtype)
+    else:
+        z0 = jnp.broadcast_to(
+            jnp.asarray(zi, dtype=x.dtype), batch_shape + (n_sections, 2)
+        )
+
+    b0, b1, b2 = sos[..., 0], sos[..., 1], sos[..., 2]
+    a1, a2 = sos[..., 4], sos[..., 5]
+
+    xs = jnp.moveaxis(x, -1, 0)  # (T, ...batch)
+
+    def step(z, xt):
+        # unrolled cascade (S is tiny and static)
+        v = xt
+        z_new = []
+        for s in range(n_sections):
+            zs0 = z[..., s, 0]
+            zs1 = z[..., s, 1]
+            y = b0[..., s] * v + zs0
+            z_new0 = b1[..., s] * v - a1[..., s] * y + zs1
+            z_new1 = b2[..., s] * v - a2[..., s] * y
+            z_new.append(jnp.stack([z_new0, z_new1], axis=-1))
+            v = y
+        return jnp.stack(z_new, axis=-2), v
 
     zf, ys = jax.lax.scan(step, z0, xs)
     return jnp.moveaxis(ys, 0, -1), zf
