@@ -87,5 +87,7 @@ class RxParams:
     wide_delta: int = WIDE_DELTA
     max_tries: int = MAX_TRIES
     peak_limit: int = PEAK_LIMIT
-    # TPU additions (not in the reference): optional time-scale search grid
-    timescale_grid: Tuple[float, ...] = ()
+    # TPU additions (not in the reference):
+    scl_budget: int = 64     # max candidates sent through the SCL ladder
+    scl_batch: int = 32      # SCL dispatch batch size
+    timescale_grid: Tuple[float, ...] = ()  # optional time-scale search grid
