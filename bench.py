@@ -1,0 +1,78 @@
+"""Headline benchmark: batched RX verification real-time factor per chip.
+
+Measures the BASELINE.json north-star metric -- audio-seconds verified per
+wall-second per chip on 3 s 48 kHz clips -- on the batched verify pipeline
+(echoseal_tpu/models/pipeline.py).  Clips are genuine watermarked streams
+(batched device TX, silence host, the reference's only decodable regime);
+the timing covers the full pipeline: device dispatch (sync, demod, refine,
+header, despread, polar+CRC) plus host AEAD verdicts.
+
+``vs_baseline`` is value / 1000: the fraction of the driver-supplied
+1000x-real-time target.  (The reference NumPy implementation needs >560 s
+for a single 3 s clip in this environment -- real-time factor < 0.006 --
+so a reference-relative ratio would be vacuous.)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from echoseal_tpu.core.params import FRAME_LEN
+    from echoseal_tpu.models.embedder import BatchEmbedder
+    from echoseal_tpu.models.pipeline import BatchVerifier
+
+    key = bytes.fromhex("aa" * 32)
+    fs = 48_000
+    clip_s = 3.0
+    T = int(clip_s * fs)
+    Tpad = 1 << 18
+    B = 128
+
+    # ---- build B watermarked 3 s clips (batched device TX) --------------
+    be = BatchEmbedder(key)
+    n_frames = -(-T // FRAME_LEN)
+    rng = np.random.default_rng(0)
+    clips = np.zeros((B, Tpad), dtype=np.float32)
+    scale = 10.0 ** (be.p.floor_rel_dbfs / 20.0)
+    for i in range(B):
+        start_ctr = int(rng.integers(0, 4000))
+        frames = be.frames(np.arange(start_ctr, start_ctr + n_frames),
+                           session_nonce=bytes(8))
+        clips[i, :T] = frames.reshape(-1)[:T] * scale
+    n_valid = np.full(B, T, dtype=np.int32)
+
+    bv = BatchVerifier(key)
+
+    # ---- warm up (compile) ----------------------------------------------
+    verdicts = bv.verify_batch(clips, n_valid)
+    accept = float(np.mean(verdicts))
+
+    # ---- timed runs -------------------------------------------------------
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = bv.verify_batch(clips, n_valid)
+        jax.block_until_ready(jax.numpy.zeros(()))
+        best = min(best, time.perf_counter() - t0)
+
+    rtf = B * clip_s / best
+    result = {
+        "metric": "RX verify real-time factor (3s 48kHz clips, "
+                  f"batch {B}, accept_rate {accept:.2f})",
+        "value": round(rtf, 1),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(rtf / 1000.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Receiver CLI (``echoseal-rx`` / ``rtwm-rx``): verify an audio file.
+
+Flag surface mirrors the reference rx_app.py:9-13 (--key --audio) plus a
+--batch mode that verifies many files in one TPU dispatch.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from echoseal_tpu.cli.tx_app import load_key
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(prog="echoseal-rx",
+                                description="Verify watermark")
+    p.add_argument("--key", required=True,
+                   help="256-bit hex key (64 hex chars) or path to keyfile")
+    p.add_argument("--audio", nargs="+", help="audio file(s) to check")
+    p.add_argument("--list-size", type=int, default=256,
+                   help="SCL list size (default 256)")
+    p.add_argument("--batch", action="store_true",
+                   help="use the batched pipeline (many files, one dispatch)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    key = load_key(args.key)
+    if len(key) != 32:
+        raise SystemExit("key must be 256-bit (64 hex chars)")
+    if not args.audio:
+        raise SystemExit("no --audio given")
+
+    from echoseal_tpu.io import wavio
+
+    if args.batch and len(args.audio) > 1:
+        import numpy as np
+
+        from echoseal_tpu.models.detector import resample_to
+        from echoseal_tpu.models.pipeline import BatchVerifier
+
+        clips, lens = [], []
+        for path in args.audio:
+            data, fs = wavio.read(path)
+            data = resample_to(48_000, data, fs)
+            clips.append(data)
+            lens.append(data.size)
+        T = max(lens)
+        Tpad = 1 << max(17, (T - 1).bit_length())
+        batch = np.zeros((len(clips), Tpad), dtype=np.float32)
+        for i, c in enumerate(clips):
+            batch[i, : c.size] = c
+        verdicts = BatchVerifier(key).verify_batch(
+            batch, np.asarray(lens, dtype=np.int32))
+        rc = 0
+        for path, ok in zip(args.audio, verdicts):
+            print(f"{path}: {'authentic' if ok else 'tampered / no watermark'}")
+            rc |= 0 if ok else 1
+        return rc
+
+    from echoseal_tpu.models.detector import WatermarkDetector
+
+    detector = WatermarkDetector(key, list_size=args.list_size)
+    rc = 0
+    for path in args.audio:
+        data, fs = wavio.read(path)
+        ok = detector.verify(data, fs)
+        print(f"{path}: {'authentic' if ok else 'tampered / no watermark'}"
+              if len(args.audio) > 1 else
+              ("authentic" if ok else "tampered / no watermark"))
+        rc |= 0 if ok else 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,80 @@
+"""Live transmitter CLI (``echoseal-tx`` / ``rtwm-tx``).
+
+Flag surface mirrors the reference tx_app.py:11-18 (--key --device
+--seconds --save) and adds an offline mode (--infile/--outfile) so the TX
+engine runs on machines without an audio stack.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def load_key(path_or_hex: str) -> bytes:
+    s = path_or_hex.strip()
+    if len(s) in (32, 48, 64) and all(c in "0123456789abcdefABCDEF" for c in s):
+        return bytes.fromhex(s)
+    try:
+        with open(s, "rb") as f:
+            return f.read()
+    except OSError as e:
+        raise SystemExit(
+            f"--key is neither a 64-char hex string nor a readable "
+            f"keyfile: {e}") from e
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        prog="echoseal-tx", description="Real-time watermark transmitter")
+    p.add_argument("--key", required=True,
+                   help="256-bit hex key (64 hex chars) or path to keyfile")
+    p.add_argument("--device", type=int, help="sounddevice index")
+    p.add_argument("--seconds", type=float, default=30.0, help="run duration")
+    p.add_argument("--save", nargs="?", const="tx_output.wav",
+                   help="save first 10 s of output to WAV")
+    p.add_argument("--infile", help="offline mode: watermark this WAV file")
+    p.add_argument("--outfile", help="offline mode: output WAV path")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    key = load_key(args.key)
+    if len(key) != 32:
+        raise SystemExit("key must be 256-bit (64 hex chars)")
+
+    from echoseal_tpu.models.embedder import WatermarkEmbedder
+
+    embedder = WatermarkEmbedder(key)
+
+    if args.infile:
+        from echoseal_tpu.io import wavio
+        from echoseal_tpu.io.audioloop import NullAudioLoop
+
+        host, fs = wavio.read(args.infile)
+        if fs != embedder.p.fs:
+            raise SystemExit(f"input must be {embedder.p.fs} Hz (got {fs})")
+        out = NullAudioLoop(embedder.process, fs=fs,
+                            save_path=args.save).run(host)
+        outfile = args.outfile or "tx_output.wav"
+        wavio.write(outfile, out, fs)
+        print(f"watermarked {host.size / fs:.1f}s -> {outfile}",
+              file=sys.stderr)
+        return 0
+
+    from echoseal_tpu.io.audioloop import AudioLoop
+
+    loop = AudioLoop(embedder.process, fs=embedder.p.fs,
+                     device=args.device, save_path=args.save)
+    loop.start()
+    print("live watermarking - speak into mic ...", file=sys.stderr)
+    try:
+        time.sleep(args.seconds)
+    finally:
+        loop.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

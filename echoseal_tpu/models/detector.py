@@ -291,6 +291,11 @@ class WatermarkDetector:
                 if hdr_ok:
                     ctrs = [c for c in range(lo, hi)
                             if (c & 0xFFFF) == lo16 and self._hop.index(c) == b]
+                    # absolute resolution: the 16-bit header pins the counter
+                    # modulo 2**16 for clips cut from ANYWHERE in the stream
+                    # (the reference's +-200 window misses those)
+                    ctrs += [c for c in (lo16 + (m << 16) for m in range(4))
+                             if c not in ctrs and self._hop.index(c) == b]
                 if not ctrs:
                     ctrs = [c for c in range(max(0, ctr_est - TIGHT_DELTA),
                                              ctr_est + TIGHT_DELTA + 1)

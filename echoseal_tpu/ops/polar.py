@@ -161,7 +161,11 @@ def hard_decode_batch(llr: jnp.ndarray, spec: PolarSpec):
     data = u_hat[..., jnp.asarray(spec.data_pos)]
     info = data[..., : spec.info_len]
     crc = data[..., spec.info_len:]
-    return info, crc8_check_batch(info, crc, spec.crc_mat)
+    ok = crc8_check_batch(info, crc, spec.crc_mat)
+    # the all-zero word is a valid codeword with CRC 0, so silent/garbage
+    # windows would "pass" -- real payloads are AEAD blobs, never all-zero
+    ok = ok & jnp.any(info != 0, axis=-1)
+    return info, ok
 
 
 def pack_info_bits(info_bits: np.ndarray) -> bytes:

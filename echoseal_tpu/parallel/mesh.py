@@ -1,0 +1,92 @@
+"""Multi-chip scale-out: shard the verify pipeline over a streams mesh.
+
+The algorithm is embarrassingly parallel over clips -- no cross-stream
+communication exists (SURVEY.md 2.9/5.8) -- so the sharding story is pure
+data parallelism on a 1-D ``streams`` axis: clips, lengths and outputs are
+sharded; the per-key tables (demod matrices, PN keystream, hop schedule)
+are replicated.  One ``psum`` aggregates the global accept count so the
+program exercises an ICI collective end-to-end.
+
+TX scale-out mirrors this: `shard_tx` shards batched frame synthesis over
+the same axis.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+STREAM_AXIS = "streams"
+
+
+def streams_mesh(devices=None) -> Mesh:
+    """1-D mesh over every available device."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (STREAM_AXIS,))
+
+
+def shard_verify(verifier, mesh: Mesh):
+    """Return fn(clips (B,T), n_valid (B,)) -> dict, sharded over streams.
+
+    ``B`` must be divisible by the mesh size.  Tables ride replicated; the
+    returned dict adds ``n_crc_ok`` -- the global count reduced with a psum
+    across the mesh so at least one collective crosses ICI.
+    """
+    from echoseal_tpu.models.pipeline import _batch_verify_stage
+
+    templates = verifier._templates
+    m_direct = verifier._m_direct
+    t_fwd = verifier._t_fwd
+    pre_sy = verifier._pre_sy
+    hdr_pn_sy = verifier._hdr_pn_sy
+    pn_table = verifier._pn_table
+    hop_table = verifier._hop_table
+    peaks = verifier.peaks
+
+    def local(clips, n_valid):
+        out = _batch_verify_stage(
+            clips, n_valid, templates, m_direct, t_fwd, pre_sy, hdr_pn_sy,
+            pn_table, hop_table, peaks=peaks)
+        local_count = jnp.sum(out["crc_ok"].astype(jnp.int32))
+        out["n_crc_ok"] = jax.lax.psum(local_count, STREAM_AXIS)
+        return out
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(STREAM_AXIS), P(STREAM_AXIS)),
+        out_specs=dict(
+            crc_ok=P(STREAM_AXIS), info_bits=P(STREAM_AXIS),
+            ctr=P(STREAM_AXIS), peak_idx=P(STREAM_AXIS),
+            peak_val=P(STREAM_AXIS), pre_score=P(STREAM_AXIS),
+            hdr_ok=P(STREAM_AXIS), hdr_score=P(STREAM_AXIS),
+            n_crc_ok=P(),
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(clips, n_valid):
+        return sharded(clips, n_valid)
+
+    return run
+
+
+def shard_tx(mesh: Mesh):
+    """Sharded batched TX: fn(info_bits, hdr_bits, pn_bits, hdr_pn_sy,
+    pre_sy, band_sos) with the frame batch split over the streams axis."""
+    from echoseal_tpu.models.embedder import synthesize_frames_device
+
+    def local(info, hdr, pn, hdr_pn_sy, pre_sy, sos):
+        return synthesize_frames_device(info, hdr, pn, hdr_pn_sy, pre_sy, sos)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(STREAM_AXIS), P(STREAM_AXIS), P(STREAM_AXIS), P(), P(),
+                  P(STREAM_AXIS)),
+        out_specs=P(STREAM_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -7,7 +7,10 @@ test run.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this image's axon sitecustomize registers the TPU backend at
+# interpreter start and pins JAX_PLATFORMS=axon, so the env var alone does
+# not stick -- jax.config.update('jax_platforms', ...) below is what works.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/echoseal_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
