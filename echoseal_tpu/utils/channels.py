@@ -1,0 +1,107 @@
+"""Channel impairments: the fault-injection library for tests & benchmarks.
+
+The reference's resilience story is claims-only (README.md:163-167 promises
+MP3/-15 dB SNR/+-5% time-scale survival but ships no such test —
+SURVEY.md §4).  This module makes the impairments real and measurable:
+
+* ``awgn``        -- additive white noise at a target SNR
+* ``lowpass``     -- LPF below the hop bands (strips the watermark)
+* ``clip``        -- hard amplitude clipping
+* ``time_scale``  -- +-x% playback-speed change (polyphase resample)
+* ``codec_sim``   -- MP3-128k-like simulation: 16 kHz bandwidth cut +
+  MDCT-domain quantisation at a bits/coefficient budget (no real MP3
+  encoder exists in this image; the two dominant MP3 artefacts --
+  high-frequency cutoff and spectral quantisation noise -- are modelled)
+* ``excerpt``     -- random sub-clip (mid-stream capture)
+* ``dropout``     -- zeroed sample bursts (packet loss)
+
+All are pure NumPy host transforms (they model the world outside the
+device, not device compute).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.signal import butter, lfilter, resample_poly
+
+
+def awgn(x: np.ndarray, snr_db: float, rng=None) -> np.ndarray:
+    """Additive white Gaussian noise at ``snr_db`` relative to signal power."""
+    rng = rng or np.random.default_rng(0)
+    p_sig = float(np.mean(x * x)) + 1e-30
+    p_noise = p_sig / (10.0 ** (snr_db / 10.0))
+    return (x + rng.standard_normal(x.size) * np.sqrt(p_noise)).astype(
+        np.float32)
+
+
+def lowpass(x: np.ndarray, cutoff_hz: float, fs: int = 48_000,
+            order: int = 8) -> np.ndarray:
+    b, a = butter(order, cutoff_hz / (fs / 2), "low")
+    return lfilter(b, a, x).astype(np.float32)
+
+
+def clip(x: np.ndarray, level: float = 0.5) -> np.ndarray:
+    return np.clip(x, -level, level).astype(np.float32)
+
+
+def time_scale(x: np.ndarray, factor: float, fs: int = 48_000) -> np.ndarray:
+    """Playback-speed change by ``factor`` (1.05 = 5% fast)."""
+    up, down = 1000, int(round(1000 * factor))
+    return resample_poly(x, up, down).astype(np.float32)
+
+
+def codec_sim(x: np.ndarray, bitrate_kbps: float = 128.0,
+              fs: int = 48_000) -> np.ndarray:
+    """MP3-like lossy codec simulation.
+
+    Models the two artefacts that matter to an ultrasonic watermark:
+    (1) the encoder's lowpass (~16 kHz at 128 kbps -- kills the 16-18 and
+    18-22 kHz hop bands), and (2) spectral quantisation noise scaled to the
+    bit budget, applied in 50%-overlap windowed-DFT (MDCT-like) frames.
+    """
+    n = 1152  # MP3 granule-pair size
+    hop = n // 2
+    win = np.sin(np.pi * (np.arange(n) + 0.5) / n).astype(np.float64)
+    pad = (-(x.size - n) % hop)
+    xp = np.concatenate([x.astype(np.float64), np.zeros(pad + n)])
+    out = np.zeros_like(xp)
+    norm = np.zeros_like(xp)
+    # bits per coefficient from the rate budget
+    coeffs_per_s = fs  # ~one coeff per sample across overlapped frames
+    bits_per_coeff = max(bitrate_kbps * 1000.0 / coeffs_per_s, 0.5)
+    q_snr = 10.0 ** (-(6.02 * bits_per_coeff) / 20.0)  # quantiser noise amp
+    cutoff_bin = int(16_000 / fs * n)
+    rng = np.random.default_rng(1234)
+    for i in range(0, xp.size - n + 1, hop):
+        seg = xp[i : i + n] * win
+        spec = np.fft.rfft(seg)
+        mag = np.abs(spec)
+        spec = spec + (rng.standard_normal(spec.size)
+                       + 1j * rng.standard_normal(spec.size)) * mag * q_snr
+        spec[cutoff_bin:] = 0.0
+        out[i : i + n] += np.fft.irfft(spec, n) * win
+        norm[i : i + n] += win * win
+    out = out / np.maximum(norm, 1e-9)
+    return out[: x.size].astype(np.float32)
+
+
+def excerpt(x: np.ndarray, seconds: float, fs: int = 48_000,
+            rng=None) -> np.ndarray:
+    rng = rng or np.random.default_rng(0)
+    n = int(seconds * fs)
+    if x.size <= n:
+        return x.astype(np.float32)
+    start = int(rng.integers(0, x.size - n))
+    return x[start : start + n].astype(np.float32)
+
+
+def dropout(x: np.ndarray, burst_ms: float = 20.0, rate_hz: float = 1.0,
+            fs: int = 48_000, rng=None) -> np.ndarray:
+    """Zero out random bursts (packet loss / glitches)."""
+    rng = rng or np.random.default_rng(0)
+    y = x.astype(np.float32).copy()
+    n_burst = int(burst_ms * fs / 1000.0)
+    n_events = max(int(x.size / fs * rate_hz), 0)
+    for _ in range(n_events):
+        s = int(rng.integers(0, max(x.size - n_burst, 1)))
+        y[s : s + n_burst] = 0.0
+    return y
