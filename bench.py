@@ -34,7 +34,7 @@ def main() -> None:
     clip_s = 3.0
     T = int(clip_s * fs)
     Tpad = 1 << 18
-    B = 128
+    B = 256
 
     # ---- build B watermarked 3 s clips (batched device TX) --------------
     be = BatchEmbedder(key)

@@ -64,12 +64,18 @@ def _batch_verify_stage(
     valid = jnp.isfinite(val)
 
     # ---- windows at offsets --------------------------------------------
-    offs = jnp.asarray(demod.SYNC_OFFSETS, dtype=jnp.int32)
-    starts = (idx[..., None] + offs).reshape(B, 4, -1)      # (B, 4, P*O)
-    s = jnp.clip(starts, 0, T - demod.W_DIRECT)
-    widx = s[..., None] + jnp.arange(demod.W_DIRECT)
-    win = jnp.take_along_axis(x[:, None, None, :],
-                              widx.reshape(B, 1, 1, -1), axis=-1)
+    # ONE wide gather per peak; the +-2 alignment offsets come from static
+    # slices of it (5x less gather traffic than per-offset windows)
+    offs = np.asarray(demod.SYNC_OFFSETS)
+    span = int(offs.max() - offs.min())
+    wide_w = demod.W_DIRECT + span
+    s0 = jnp.clip(idx + int(offs.min()), 0, T - wide_w)     # (B, 4, P)
+    widx = s0[..., None] + jnp.arange(wide_w)
+    wide = jnp.take_along_axis(x[:, None, None, :],
+                               widx.reshape(B, 1, 1, -1), axis=-1)
+    wide = wide.reshape(B, 4, -1, wide_w)                   # (B,4,P,wide)
+    win = jnp.stack([wide[..., o : o + demod.W_DIRECT]
+                     for o in range(span + 1)], axis=3)     # (B,4,P,O,W)
     win = win.reshape(B, 4, -1, demod.W_DIRECT)             # (B,4,P*O,W)
     win = win * jax.lax.rsqrt(jnp.mean(win * win, -1, keepdims=True) + 1e-30)
 
