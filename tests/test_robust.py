@@ -1,0 +1,51 @@
+"""Robust (v2) profile: roundtrips through channels compat cannot survive.
+
+Measured envelope at oversample=8 (core/profiles.py): clean, loud-host
+(watermark 11x below host), and MP3-128k-sim captures verify; heavy AWGN
+needs the higher-regularisation profile planned next round.
+"""
+import numpy as np
+import pytest
+
+from echoseal_tpu.models.robust import RobustEmbedder, RobustVerifier
+from echoseal_tpu.utils import channels
+
+FS = 48_000
+
+
+@pytest.fixture(scope="module")
+def wm_loud_host(key32):
+    host = (0.2 * np.sin(2 * np.pi * 700 * np.arange(4 * FS) / FS)
+            ).astype(np.float32)
+    tx = RobustEmbedder(key32)
+    return tx.process(host)
+
+
+def test_v2_loud_host_roundtrip(key32, wm_loud_host):
+    """Host 11x louder than the watermark -- impossible in compat mode."""
+    assert RobustVerifier(key32).verify(wm_loud_host, FS) is True
+
+
+def test_v2_mp3_sim_roundtrip(key32, wm_loud_host):
+    mp3 = channels.codec_sim(wm_loud_host[: int(3.5 * FS)], 128.0)
+    assert RobustVerifier(key32).verify(mp3, FS) is True
+
+
+def test_v2_silence_host(key32):
+    tx = RobustEmbedder(key32)
+    wm = tx.process(np.zeros(4 * FS, dtype=np.float32))
+    assert RobustVerifier(key32).verify(wm, FS) is True
+
+
+def test_v2_wrong_key_rejected(key32, wm_loud_host):
+    assert RobustVerifier(bytes.fromhex("33" * 32)).verify(
+        wm_loud_host, FS) is False
+
+
+def test_v2_short_clip_rejected(key32, wm_loud_host):
+    assert RobustVerifier(key32).verify(wm_loud_host[: 2 * FS], FS) is False
+
+
+def test_v2_noise_only_rejected(key32, rng):
+    noise = (0.1 * rng.standard_normal(4 * FS)).astype(np.float32)
+    assert RobustVerifier(key32).verify(noise, FS) is False
