@@ -1,0 +1,98 @@
+"""BASELINE.json config 5: impaired-channel batch verification harness.
+
+Builds a batch of watermarked streams, pushes them through each channel
+impairment, and reports accept rates for both waveform profiles:
+
+* compat  -- the reference wire format via the batched TPU pipeline
+  (BatchVerifier, one device dispatch for the whole batch)
+* robust  -- the v2 profile via RobustVerifier (single-clip loop; the
+  batched v2 pipeline is on the roadmap)
+
+Run: ``python benchmarks/impaired_bench.py [--batch 64] [--v2-batch 8]``
+Prints a JSON report.  Honest numbers: compat survives only the clean
+channel (see core/profiles.py for why that is a property of the wire
+format, not the receiver); robust survives codec-sim and loud hosts.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64,
+                    help="compat batch size (driver config says 1k-stream; "
+                         "default kept small for CI)")
+    ap.add_argument("--v2-batch", type=int, default=4)
+    args = ap.parse_args()
+
+    from echoseal_tpu.core.params import FRAME_LEN
+    from echoseal_tpu.models.embedder import BatchEmbedder
+    from echoseal_tpu.models.pipeline import BatchVerifier
+    from echoseal_tpu.models.robust import RobustEmbedder, RobustVerifier
+    from echoseal_tpu.utils import channels
+
+    key = bytes.fromhex("aa" * 32)
+    fs = 48_000
+    T = 3 * fs
+    Tpad = 1 << 18
+    rng = np.random.default_rng(0)
+
+    impair = {
+        "clean": lambda x: x,
+        "mp3-128k(sim)": lambda x: channels.codec_sim(x, 128.0)[:x.size],
+        "awgn-15dB": lambda x: channels.awgn(x, -15.0, rng),
+        "timescale+5%": lambda x: channels.time_scale(x, 1.05)[:x.size],
+    }
+
+    report: dict = {}
+
+    # ---------------- compat profile, batched pipeline --------------------
+    be = BatchEmbedder(key)
+    n_frames = -(-T // FRAME_LEN)
+    scale = 10.0 ** (be.p.floor_rel_dbfs / 20.0)
+    base = np.zeros((args.batch, T), dtype=np.float32)
+    for i in range(args.batch):
+        sc = int(rng.integers(0, 4000))
+        fr = be.frames(np.arange(sc, sc + n_frames), session_nonce=bytes(8))
+        base[i] = fr.reshape(-1)[:T] * scale
+    bv = BatchVerifier(key)
+    nv = np.full(args.batch, T, dtype=np.int32)
+    compat = {}
+    for name, f in impair.items():
+        clips = np.zeros((args.batch, Tpad), dtype=np.float32)
+        for i in range(args.batch):
+            y = f(base[i].copy())
+            clips[i, : min(y.size, T)] = y[:T]
+        t0 = time.perf_counter()
+        v = bv.verify_batch(clips, nv)
+        compat[name] = dict(accept=float(np.mean(v)),
+                            secs=round(time.perf_counter() - t0, 3))
+    report["compat"] = compat
+
+    # ---------------- robust v2 profile ----------------------------------
+    host = (0.15 * np.sin(2 * np.pi * 700 * np.arange(int(3.5 * fs)) / fs)
+            ).astype(np.float32)
+    v2 = {}
+    wm = [RobustEmbedder(key).process(host) for _ in range(args.v2_batch)]
+    for name, f in impair.items():
+        n_ok = 0
+        for w in wm:
+            rv = RobustVerifier(key)
+            n_ok += bool(rv.verify(f(w.copy()), fs))
+        v2[name] = dict(accept=n_ok / len(wm))
+    report["robust_v2(loud tone host)"] = v2
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
