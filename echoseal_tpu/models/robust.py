@@ -208,10 +208,40 @@ class RobustVerifier:
         for factor in self.timescale_grid:
             sig = signal if factor == 1.0 else resample_to(
                 self.fs_target, signal, int(round(self.fs_target * factor)))
-            ok, ctr = self._verify_once(sig)
+            ok, ctr, peaks = self._verify_once(sig)
             if ok:
                 return True, ctr
+            # time-scale recovery: the coarse grid only needs to get sync
+            # peaks to show (residual <~1.5% keeps the 504-sample preamble
+            # correlated); inter-frame peak spacing then pins the true
+            # scale to ~5e-5, and one corrective resample makes the frame
+            # coherent again.  Handles the +-5% playback-speed case.
+            est = self._estimate_timescale(peaks)
+            if est is not None and abs(est - 1.0) > 2e-4:
+                total = factor * est
+                sig2 = resample_to(
+                    self.fs_target, signal,
+                    int(round(self.fs_target * total)))
+                ok, ctr, _ = self._verify_once(sig2)
+                if ok:
+                    return True, ctr
         return False, None
+
+    def _estimate_timescale(self, peaks: np.ndarray | None) -> float | None:
+        """Modal scale ratio from same-band sync-peak spacings."""
+        if peaks is None:
+            return None
+        span = self.profile.span
+        ratios = []
+        for b in range(peaks.shape[0]):
+            pos = np.sort(peaks[b][peaks[b] >= 0])
+            for d in np.diff(pos):
+                k = int(round(d / span))
+                if k >= 1 and abs(d / (k * span) - 1.0) < 0.06:
+                    ratios.append(d / (k * span))
+        if len(ratios) < 2:
+            return None
+        return float(np.median(ratios))
 
     def _verify_once(self, signal: np.ndarray):
         span = self.profile.span
@@ -223,6 +253,7 @@ class RobustVerifier:
                            self._m_stack, self._hdr_pn_sy, self._pre_sy,
                            span=span)
         out = {k: np.asarray(v) for k, v in out.items()}
+        peaks = np.where(np.isfinite(out["peak_val"]), out["peak_idx"], -1)
 
         nb, npf, nk, _ = out["chips"].shape
         rows = []   # (band, prof, k, ctr)
@@ -241,7 +272,7 @@ class RobustVerifier:
                     for c in cands:
                         rows.append((b, p, k, c))
         if not rows:
-            return False, None
+            return False, None, peaks
 
         bands = np.array([r[0] for r in rows])
         profs = np.array([r[1] for r in rows])
@@ -258,7 +289,7 @@ class RobustVerifier:
         info = np.asarray(info)
         for i in np.flatnonzero(np.asarray(crc_ok)):
             if self._accept(info[i], int(ctrs[i])):
-                return True, int(ctrs[i])
+                return True, int(ctrs[i]), peaks
 
         # SCL pass over the best rows
         quality = np.mean(np.abs(llr), axis=-1)
@@ -269,8 +300,8 @@ class RobustVerifier:
         for rloc, r in enumerate(sel):
             for li in np.flatnonzero(ok[rloc]):
                 if self._accept(bits[rloc, li], int(ctrs[r])):
-                    return True, int(ctrs[r])
-        return False, None
+                    return True, int(ctrs[r]), peaks
+        return False, None, peaks
 
     def _accept(self, info_bits: np.ndarray, frame_ctr: int) -> bool:
         blob = pack_info_bits(info_bits)

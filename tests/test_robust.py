@@ -46,6 +46,13 @@ def test_v2_short_clip_rejected(key32, wm_loud_host):
     assert RobustVerifier(key32).verify(wm_loud_host[: 2 * FS], FS) is False
 
 
+def test_v2_timescale_grid(key32, wm_loud_host):
+    """+5% playback speed recovers through the resample search grid."""
+    scaled = channels.time_scale(wm_loud_host, 1.05)
+    rv = RobustVerifier(key32, timescale_grid=(1.0, 0.9524))
+    assert rv.verify(scaled, FS) is True
+
+
 def test_v2_noise_only_rejected(key32, rng):
     noise = (0.1 * rng.standard_normal(4 * FS)).astype(np.float32)
     assert RobustVerifier(key32).verify(noise, FS) is False
