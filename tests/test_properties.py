@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis).
+
+The reference declared hypothesis as a dev dependency but shipped zero
+property tests (SURVEY.md §4); these pin the algebraic invariants the
+system rests on.
+"""
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from echoseal_tpu.core.crypto import SecureChannel
+from echoseal_tpu.core.sequences import header_bits, header_bits_batch
+from echoseal_tpu.ops.polar import (
+    crc8_bits,
+    encode_np,
+    polar_spec,
+    polar_transform_np,
+)
+
+KEY = bytes.fromhex("aa" * 32)
+SEC = SecureChannel(KEY)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=55, max_size=55))
+def test_polar_transform_is_involutive(payload):
+    """The GF(2) butterfly is its own inverse: decode(encode(u)) == u."""
+    cw = encode_np(payload)
+    spec = polar_spec()
+    u = polar_transform_np(cw[None])[0]          # transform is involutive
+    data = u[spec.data_pos]
+    assert np.packbits(data[: spec.info_len]).tobytes() == payload
+    np.testing.assert_array_equal(data[spec.info_len :],
+                                  crc8_bits(data[: spec.info_len]))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=1, max_size=64))
+def test_aead_seal_open_roundtrip(plaintext):
+    assert SEC.open(SEC.seal(plaintext)) == plaintext
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1),
+       st.integers(min_value=1, max_value=2048))
+def test_pn_prefix_consistency(ctr, n):
+    """Shorter PN requests are prefixes of longer ones (CTR stream)."""
+    a = SEC.pn_bits(ctr, n)
+    b = SEC.pn_bits(ctr, n + 64)
+    np.testing.assert_array_equal(a, b[:n])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_header_bits_scalar_batch_agree(ctr):
+    np.testing.assert_array_equal(
+        header_bits(ctr), header_bits_batch(np.array([ctr]))[0])
