@@ -192,17 +192,35 @@ class BatchVerifier:
         )
 
     def verify_batch(self, clips: np.ndarray,
-                     n_valid: np.ndarray | None = None) -> np.ndarray:
+                     n_valid: np.ndarray | None = None, *,
+                     expected_nonce: bytes | None = None) -> np.ndarray:
         """(B, T) float32 clips -> (B,) bool verdicts."""
         out = self.run_device(clips, n_valid)
-        return self.finish_host(out)
+        return self.finish_host(out, expected_nonce=expected_nonce)
 
-    def finish_host(self, out) -> np.ndarray:
+    def finish_host(self, out, *,
+                    expected_nonce: bytes | None = None) -> np.ndarray:
         """AEAD verdicts from the device outputs (downloads ~60 B/clip)."""
+        return self.finish_host_detailed(out, expected_nonce=expected_nonce)[0]
+
+    def finish_host_detailed(self, out, *, expected_nonce: bytes | None = None):
+        """(verdicts (B,) bool, nonces (B,) list[bytes|None]).
+
+        Unlike the single-clip detector (which latches the first authentic
+        session nonce -- models/detector.py), a serving batch mixes clips
+        from many sessions, so the anti-replay policy is the CALLER's:
+        either pass ``expected_nonce`` to enforce one session across the
+        batch, or consume the returned per-clip nonces and apply a
+        per-stream latch upstream.  Without either, a frame sealed in a
+        different session still verifies (AEAD+ctr only) -- by design for
+        multi-tenant serving, but callers wanting the reference detector's
+        replay protection must use one of the two hooks.
+        """
         ok = np.asarray(out["ok"])
         blobs = np.asarray(out["blob"])
         ctrs = np.asarray(out["blob_ctr"])
         verdicts = np.zeros(ok.shape[0], dtype=bool)
+        nonces: list[bytes | None] = [None] * ok.shape[0]
         for i in np.flatnonzero(ok):
             blob = blobs[i].tobytes()
             plain, _ = self.sec.open_any_layout(blob)
@@ -210,5 +228,11 @@ class BatchVerifier:
                 plain = blob
             if plain is None or not plain.startswith(MAGIC):
                 continue
-            verdicts[i] = int.from_bytes(plain[4:8], "big") == int(ctrs[i])
-        return verdicts
+            if int.from_bytes(plain[4:8], "big") != int(ctrs[i]):
+                continue
+            nonce = plain[8:16]
+            if expected_nonce is not None and nonce != expected_nonce:
+                continue
+            verdicts[i] = True
+            nonces[i] = nonce
+        return verdicts, nonces

@@ -1,0 +1,135 @@
+"""Multi-chip dry run: full sharded TX -> RX loop with strict asserts.
+
+Run as ``python -m echoseal_tpu.parallel.dryrun N`` in a FRESH interpreter
+(the ``__main__`` block pins the CPU backend before any JAX backend
+initialisation).  ``__graft_entry__.dryrun_multichip`` launches it that way
+in a scrubbed subprocess so it succeeds even when the calling process has
+already initialised a single-device accelerator backend -- exactly how the
+round-1 in-process attempt failed.
+
+What it proves (reference has no distributed code -- SURVEY.md section 5.8;
+this models the scale-out tier the TPU rebuild adds):
+
+* sharded TX: batched frame synthesis ``shard_map``-ed over an N-device
+  ``streams`` mesh, output shape- and content-checked;
+* sharded RX: the full batched verify program over the same mesh, with the
+  ICI ``psum`` verdict reduction;
+* STRICT per-clip verdicts: every one of the N clips must AEAD-verify
+  (``finish_host`` all True) -- not a vacuous count check.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+FRAMES_PER_CLIP = 6
+
+
+def run(n_devices: int) -> None:
+    """Execute the sharded TX->RX loop; raises AssertionError on any gap."""
+    import jax
+    import jax.numpy as jnp
+
+    devices = jax.devices()[:n_devices]
+    assert len(devices) == n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}"
+    )
+
+    from echoseal_tpu.core.params import FRAME_LEN
+    from echoseal_tpu.core.sequences import header_bits_batch
+    from echoseal_tpu.models.embedder import BatchEmbedder, db_to_lin
+    from echoseal_tpu.models.pipeline import BatchVerifier
+    from echoseal_tpu.parallel.mesh import shard_tx, shard_verify, streams_mesh
+    from echoseal_tpu.core.params import HDR_L, PRE_L
+    from echoseal_tpu.core.sequences import bits_to_bpsk, mls63
+    from echoseal_tpu.ops import filters
+
+    key = bytes.fromhex("aa" * 32)
+    mesh = streams_mesh(devices)
+    nonce = b"dryrun!!"
+
+    # ---- sharded TX: FRAMES_PER_CLIP frames per device ------------------
+    be = BatchEmbedder(key)
+    ctrs = np.arange(n_devices * FRAMES_PER_CLIP, dtype=np.int64)
+    info = np.stack([
+        np.unpackbits(np.frombuffer(
+            be.sec.seal(b"ESAL" + int(c).to_bytes(4, "big") + nonce
+                        + bytes(11)), dtype=np.uint8))
+        for c in ctrs
+    ])
+    hdr = header_bits_batch(ctrs)
+    pn = be.sec.pn_bits_batch(ctrs, FRAME_LEN)[:, PRE_L + HDR_L:]
+    sos = filters.all_band_sos(48_000)[be._hop.indices(ctrs)]
+    tx_fn = shard_tx(mesh)
+    frames = tx_fn(
+        jnp.asarray(info), jnp.asarray(hdr), jnp.asarray(pn),
+        jnp.asarray(bits_to_bpsk(be.sec.pn_bits(0, HDR_L))),
+        jnp.asarray(bits_to_bpsk(mls63())), jnp.asarray(sos))
+    frames.block_until_ready()
+    frames_np = np.asarray(frames)
+    assert frames_np.shape == (len(ctrs), FRAME_LEN), frames_np.shape
+    assert np.all(np.isfinite(frames_np)), "TX produced non-finite chips"
+    assert np.all(np.ptp(frames_np, axis=-1) > 0), "TX produced silent frames"
+
+    # cross-check the sharded TX against the unsharded device program
+    ref_frames = be.frames(ctrs[:FRAMES_PER_CLIP], session_nonce=nonce)
+    # payload randomness differs (fresh seal), but the deterministic
+    # preamble region must match exactly between sharded and local TX
+    np.testing.assert_allclose(
+        frames_np[:FRAMES_PER_CLIP, :63], ref_frames[:, :63],
+        rtol=1e-5, atol=1e-6)
+
+    # ---- sharded RX verify: one clip per device --------------------------
+    T = 1 << 13  # tiny shapes for the dry run (8192 > 6 frames = 7290)
+    scale = db_to_lin(be.p.floor_rel_dbfs)
+    clips = np.zeros((n_devices, T), dtype=np.float32)
+    stream = frames_np.reshape(n_devices, FRAMES_PER_CLIP * FRAME_LEN)
+    clips[:, : stream.shape[1]] = stream * scale
+    n_valid = np.full(n_devices, T, dtype=np.int32)
+
+    bv = BatchVerifier(key, max_ctr=64)
+    run_fn = shard_verify(bv, mesh)
+    out = run_fn(jnp.asarray(clips), jnp.asarray(n_valid))
+    jax.block_until_ready(out)
+
+    assert out["crc_ok"].shape[0] == n_devices
+    n_crc_ok = int(out["n_crc_ok"])
+    assert n_crc_ok >= n_devices, (
+        f"psum-reduced CRC pass count {n_crc_ok} < {n_devices} clips"
+    )
+    verdicts = bv.finish_host(out, expected_nonce=nonce)
+    assert verdicts.shape == (n_devices,)
+    failed = np.flatnonzero(~verdicts)
+    assert failed.size == 0, (
+        f"clips {failed.tolist()} failed AEAD verification "
+        f"(per-clip ok={np.asarray(out['ok']).tolist()})"
+    )
+
+    # wrong-nonce replay must NOT verify (anti-replay policy end-to-end)
+    replay = bv.finish_host(out, expected_nonce=b"someone!")
+    assert not replay.any(), "anti-replay nonce check accepted a replay"
+
+    print(f"DRYRUN_OK n_devices={n_devices} "
+          f"verdicts={verdicts.astype(int).tolist()} n_crc_ok={n_crc_ok}")
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+
+    import jax
+
+    # this image's axon sitecustomize registers a TPU backend plugin at
+    # interpreter start; pin the CPU platform BEFORE first backend use
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/echoseal_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    run(n)
