@@ -12,8 +12,12 @@ import time
 
 
 def load_key(path_or_hex: str) -> bytes:
+    # Only a full 64-char hex string is a literal 256-bit key; anything
+    # shorter (incl. 32/48-char hex, which the reference mis-parsed into
+    # 16/24-byte keys, rx_app.py load_key) falls through to the keyfile
+    # path so the error message names the real problem.
     s = path_or_hex.strip()
-    if len(s) in (32, 48, 64) and all(c in "0123456789abcdefABCDEF" for c in s):
+    if len(s) == 64 and all(c in "0123456789abcdefABCDEF" for c in s):
         return bytes.fromhex(s)
     try:
         with open(s, "rb") as f:

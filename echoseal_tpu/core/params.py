@@ -91,3 +91,8 @@ class RxParams:
     scl_budget: int = 64     # max candidates sent through the SCL ladder
     scl_batch: int = 32      # SCL dispatch batch size
     timescale_grid: Tuple[float, ...] = ()  # optional time-scale search grid
+    # longest stream (in frames) whose clips are still absolutely
+    # resolvable via the 16-bit header: lo16 + m*2^16 is fanned out for
+    # m < ceil(max_stream_frames / 2^16).  Default 2^20 frames ~ 7.4 h
+    # @ 39.5 frames/s; raise it for longer sessions (host-side cost only).
+    max_stream_frames: int = 1 << 20

@@ -85,6 +85,20 @@ def _pad_bucket(n: int) -> int:
     return b
 
 
+def _cand_bucket(n: int) -> int:
+    """Candidate-count bucket: next power of two, floor 32.
+
+    The per-clip candidate count varies arbitrarily (peaks x counters x
+    profiles, up to 2*MAX_TRIES); without bucketing every distinct count
+    would trigger a fresh XLA compile of ``_llr_stage`` -- minutes each on
+    TPU -- making single-clip latency unpredictable.
+    """
+    b = 32
+    while b < n:
+        b <<= 1
+    return b
+
+
 # ======================================================================
 # jitted stages
 # ======================================================================
@@ -292,9 +306,13 @@ class WatermarkDetector:
                     ctrs = [c for c in range(lo, hi)
                             if (c & 0xFFFF) == lo16 and self._hop.index(c) == b]
                     # absolute resolution: the 16-bit header pins the counter
-                    # modulo 2**16 for clips cut from ANYWHERE in the stream
-                    # (the reference's +-200 window misses those)
-                    ctrs += [c for c in (lo16 + (m << 16) for m in range(4))
+                    # modulo 2**16 (the reference's +-200 window misses clips
+                    # cut later than ~5 s in, detector.py:122-142).  Coverage
+                    # is bounded by RxParams.max_stream_frames: multipliers
+                    # m < ceil(max_stream_frames / 2^16) are fanned out.
+                    n_mult = -(-self.p.max_stream_frames >> 16)
+                    ctrs += [c for c in (lo16 + (m << 16)
+                                         for m in range(max(n_mult, 1)))
                              if c not in ctrs and self._hop.index(c) == b]
                 if not ctrs:
                     ctrs = [c for c in range(max(0, ctr_est - TIGHT_DELTA),
@@ -329,10 +347,24 @@ class WatermarkDetector:
         pn_payload = self.sec.pn_bits_batch(uniq, FRAME_LEN)[:, PRE_L + HDR_L:]
         pn_sy = (2.0 * pn_payload[inv].astype(np.float32) - 1.0)
 
-        llr, info, crc_ok = _llr_stage(jnp.asarray(chips), jnp.asarray(pn_sy))
-        llr = np.asarray(llr)
-        info = np.asarray(info)
-        crc_ok = np.asarray(crc_ok)
+        # pad the candidate batch to a fixed bucket so _llr_stage compiles
+        # once per bucket, not once per candidate count; zero rows yield
+        # zero LLRs, which the all-zero guard in hard_decode_batch rejects
+        n_cand = chips.shape[0]
+        pad = _cand_bucket(n_cand) - n_cand
+        if pad:
+            chips_in = np.concatenate(
+                [chips, np.zeros((pad,) + chips.shape[1:], np.float32)])
+            pn_in = np.concatenate(
+                [pn_sy, np.ones((pad,) + pn_sy.shape[1:], np.float32)])
+        else:
+            chips_in, pn_in = chips, pn_sy
+
+        llr, info, crc_ok = _llr_stage(jnp.asarray(chips_in),
+                                       jnp.asarray(pn_in))
+        llr = np.asarray(llr)[:n_cand]
+        info = np.asarray(info)[:n_cand]
+        crc_ok = np.asarray(crc_ok)[:n_cand]
 
         # ------------------- hard-decision fast path ----------------------
         for i in np.flatnonzero(crc_ok):
@@ -357,7 +389,12 @@ class WatermarkDetector:
             sign = 1.0 if retry == 0 else -1.0
             for i0 in range(0, sel.size, scl_batch):
                 rows = sel[i0 : i0 + scl_batch]
-                res = scl_decode(jnp.asarray(sign * llr[rows]), self._spec,
+                batch = sign * llr[rows]
+                if rows.size < scl_batch:   # fixed shape: one compile total
+                    batch = np.concatenate(
+                        [batch, np.zeros((scl_batch - rows.size,
+                                          batch.shape[1]), np.float32)])
+                res = scl_decode(jnp.asarray(batch), self._spec,
                                  self._list_size)
                 ok = np.asarray(res["crc_ok"])
                 bits = np.asarray(res["info_bits"])
@@ -374,9 +411,14 @@ class WatermarkDetector:
         # variant 1: PN restarted at the payload (detector.py:305-312)
         pn_alt = self.sec.pn_bits_batch(uniq, N_DEFAULT)
         pn_alt_sy = 2.0 * pn_alt[inv].astype(np.float32) - 1.0
-        llr_a, info_a, crc_ok_a = _llr_stage(jnp.asarray(chips),
+        if pad:
+            pn_alt_sy = np.concatenate(
+                [pn_alt_sy, np.ones((pad,) + pn_alt_sy.shape[1:],
+                                    np.float32)])
+        llr_a, info_a, crc_ok_a = _llr_stage(jnp.asarray(chips_in),
                                              jnp.asarray(pn_alt_sy))
-        info_a = np.asarray(info_a)
+        info_a = np.asarray(info_a)[:n_cand]
+        crc_ok_a = np.asarray(crc_ok_a)[:n_cand]
         for i in np.flatnonzero(np.asarray(crc_ok_a)):
             acc = self._accept(info_a[i], int(ctrs[i]))
             if acc is not None:

@@ -11,6 +11,7 @@ to the pure-Python mixer when no compiler is present.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 import threading
 from pathlib import Path
@@ -18,8 +19,11 @@ from pathlib import Path
 import numpy as np
 
 _DIR = Path(__file__).parent
-_SO = _DIR / "_mixer.so"
 _SRC = _DIR / "mixer.c"
+# The shared object is keyed on the SOURCE CONTENT hash (not mtimes, which
+# are arbitrary after a fresh clone), so editing mixer.c always rebuilds and
+# a binary built from different source is never picked up.
+_SO = _DIR / f"_mixer-{hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]}.so"
 _lock = threading.Lock()
 _lib = None
 
@@ -36,9 +40,14 @@ def load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _SO.exists():
             _build()
-        lib = ctypes.CDLL(str(_SO))
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            # stale/foreign-arch binary: rebuild once and retry
+            _build()
+            lib = ctypes.CDLL(str(_SO))
         lib.mixer_new.restype = ctypes.c_void_p
         lib.mixer_new.argtypes = [ctypes.c_double, ctypes.c_double,
                                   ctypes.c_double, ctypes.c_size_t]
