@@ -207,6 +207,8 @@ class VerifyResult:
     session_nonce: bytes | None = None
     stage: str | None = None          # 'hard' | 'scl' | None
     tries: int = 0
+    peaks: np.ndarray | None = None   # (4, K) sync peak positions (or -1)
+    timescale: float | None = None    # correction factor applied, if any
 
 
 class WatermarkDetector:
@@ -377,6 +379,38 @@ class WatermarkDetector:
                                     tries=int(i) + 1)
 
         # --------------------------- SCL pass -----------------------------
+        # The soft pass decodes the RAW LS chips (direct profile 1), not the
+        # refined ones: raw amplitudes are per-chip confidences, so weak or
+        # erased chips carry low |LLR| and the list decoder forks exactly
+        # there.  (Refined chips are anchored to +-amp -- ideal for the
+        # hard path above, information-destroying for a soft decoder.)
+        chips_soft = np.where(
+            srcs[:, None] == 0,
+            out["chips_d"][bands, np.minimum(1, out["chips_d"].shape[1] - 1),
+                           cidx],
+            chips,
+        ).astype(np.float32)
+        if pad:
+            chips_soft_in = np.concatenate(
+                [chips_soft, np.zeros((pad,) + chips_soft.shape[1:],
+                                      np.float32)])
+        else:
+            chips_soft_in = chips_soft
+        llr_s, info_s, crc_ok_s = _llr_stage(jnp.asarray(chips_soft_in),
+                                             jnp.asarray(pn_in))
+        llr = np.asarray(llr_s)[:n_cand]
+        # free extra hard pass over the raw chips (different rounding than
+        # the refined pass; occasionally rescues a clean frame on its own)
+        info_s = np.asarray(info_s)[:n_cand]
+        for i in np.flatnonzero(np.asarray(crc_ok_s)[:n_cand]):
+            res = self._accept(info_s[i], int(ctrs[i]))
+            if res is not None:
+                return VerifyResult(True, frame_ctr=int(ctrs[i]),
+                                    band=BAND_PLAN[bands[i]],
+                                    peak_pos=int(starts[i]),
+                                    session_nonce=res, stage="hard",
+                                    tries=int(i) + 1)
+
         # rank candidates by LLR confidence; decode the ladder in batches:
         # +llr, then -llr, then the alternate PN convention (variant 1).
         quality = np.mean(np.abs(llr), axis=-1)

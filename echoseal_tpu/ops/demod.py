@@ -51,11 +51,14 @@ from echoseal_tpu.ops import filters
 CASCADE_TAIL = 512
 W_DIRECT = FRAME_LEN
 W_CASCADE = FRAME_LEN + CASCADE_TAIL
-# Regularisation ladder: 1e-12 recovers chips EXACTLY on digital-clean
-# clips (measured BER 0 on silence hosts, f32); 1e-8 tolerates light
-# in-band noise at the cost of ~3% chip bias; the cascade profile holds up
-# under loud out-of-band hosts.  Every profile is scored and the FEC picks.
-LAM_DIRECT_PROFILES = (1e-12, 1e-8)
+# Direct-model profiles: BOTH use the lam=1e-12 exact inversion.  Profile
+# 0 is hard-projection REFINED (see refine_chips) -- the hard-decision
+# champion on digital-clean clips; profile 1 stays RAW, because the raw LS
+# amplitudes carry the per-chip confidence the soft (SCL) pass needs:
+# weakly-observed or erased chips come out near 0 -> low |LLR| -> the list
+# decoder forks there.  Refinement anchors every chip to +-amp, which
+# turns erasures into confidently-WRONG bits that no list size can fix.
+LAM_DIRECT_PROFILES = (1e-12, 1e-12)
 LAM_CASCADE = 1e-10
 
 # offsets searched around each sync peak (chip-accurate alignment)
