@@ -27,12 +27,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from echoseal_tpu.core.bandplan import hop_schedule
+from echoseal_tpu.core.bandplan import BAND_PLAN, hop_schedule
 from echoseal_tpu.core.crypto import SecureChannel
 from echoseal_tpu.core.params import FRAME_LEN, HDR_L, MAGIC, PRE_L, WIDE_DELTA
 from echoseal_tpu.core.sequences import bits_to_bpsk, mls63
 from echoseal_tpu.ops import demod
-from echoseal_tpu.ops.polar import hard_decode_batch, pack_info_bits, polar_spec
+from echoseal_tpu.ops.polar import (
+    PolarSpec,
+    hard_decode_batch,
+    pack_info_bits,
+    polar_spec,
+)
 
 DEFAULT_MAX_CTR = 16_384     # ~7 min of stream @ 39.5 frames/s
 DEFAULT_PEAKS = 2            # sync peaks examined per band per clip
@@ -153,6 +158,120 @@ def _batch_verify_stage(
     )
 
 
+def _key_tables(sec: SecureChannel, hop, max_ctr: int):
+    """Per-key device tables: payload PN bits + hop band for every counter."""
+    ctrs = np.arange(max_ctr, dtype=np.int64)
+    pn = sec.pn_bits_batch(ctrs, FRAME_LEN)[:, PRE_L + HDR_L :]
+    return (jnp.asarray(pn.astype(np.int8)),
+            jnp.asarray(hop.indices(ctrs).astype(np.int32)))
+
+
+def _resolve_counters(hdr_ok, lo16, ctr_est, hop_table, band_ids, max_ctr):
+    """Header-gated absolute + time-estimate fallback counter resolution.
+
+    All args broadcast against a (..., band, ...) candidate lattice; returns
+    (ctr, any_match).  Mirrors the block in ``_batch_verify_stage`` (kept
+    inline there -- its shapes are pinned by round-1 tests).
+    """
+    lo16c = jnp.clip(lo16, 0, max_ctr - 1)
+    hdr_resolved = hdr_ok & (hop_table[lo16c] == band_ids) & (lo16 < max_ctr)
+    deltas = jnp.arange(-WIDE_DELTA, WIDE_DELTA + 1, dtype=jnp.int32)
+    cand = jnp.clip(ctr_est[..., None] + deltas, 0, max_ctr - 1)
+    match_nohdr = hop_table[cand] == band_ids[..., None]
+    dist = jnp.abs(deltas) + jnp.where(match_nohdr, 0, 1 << 20)
+    j = jnp.argmin(dist, axis=-1)
+    ctr_fb = jnp.take_along_axis(cand, j[..., None], axis=-1)[..., 0]
+    ctr = jnp.where(hdr_resolved, lo16c, ctr_fb)
+    return ctr, hdr_resolved | jnp.any(match_nohdr, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("peaks", "span", "spec"))
+def _batch_verify_stage_v2(
+    x: jnp.ndarray,           # (B, Tpad) float32 clips, zero padded
+    n_valid: jnp.ndarray,     # (B,) int32 true lengths
+    templates: jnp.ndarray,   # (4, 63*S) sync templates
+    m_stack: jnp.ndarray,     # (4, NP, 1215, span) LS demod, 2 lam profiles
+    pre_sy: jnp.ndarray,      # (63,)
+    hdr_pn_sy: jnp.ndarray,   # (128,)
+    pn_table: jnp.ndarray,    # (MAX_CTR, 1024) int8 payload PN bits
+    hop_table: jnp.ndarray,   # (MAX_CTR,) int32 band index per counter
+    peaks: int,
+    span: int,
+    spec: PolarSpec,
+):
+    """One-dispatch v2 (oversampled-profile) batch verification.
+
+    Differences from the compat stage: oversampled sync templates and LS
+    matrices (no refinement -- the in-band energy concentration makes the
+    raw inversion mild, models/robust.py), the STANDARD polar info-set
+    convention, and a per-clip best-LLR row exported for the host-driven
+    SCL fallback (v2 leans on the list decoder under impairment, so the
+    soft row ships packed instead of the full LLR lattice).
+    """
+    B, T = x.shape
+
+    corr = demod.normalized_xcorr(x, templates)             # (B, 4, Tc)
+    lag = jnp.arange(corr.shape[-1])
+    corr = jnp.where(lag[None, None, :] <= (n_valid[:, None, None] - span),
+                     corr, -jnp.inf)
+    idx, val = demod.topk_nms(corr, peaks, span // 2)       # (B, 4, K)
+    valid = jnp.isfinite(val)
+
+    starts = jnp.clip(idx, 0, T - span)
+    widx = starts[..., None] + jnp.arange(span)             # (B, 4, K, span)
+    win = jnp.take_along_axis(x[:, None, None, :],
+                              widx.reshape(B, 1, 1, -1), axis=-1)
+    win = win.reshape(B, 4, peaks, span)
+    win = win * jax.lax.rsqrt(jnp.mean(win * win, -1, keepdims=True) + 1e-30)
+
+    chips = jnp.einsum("bfkw,fpcw->bfpkc", win, m_stack,
+                       precision=jax.lax.Precision.HIGHEST)  # (B,4,NP,K,1215)
+
+    hdr_ok, lo16, hdr_score = demod.header_decode(chips, hdr_pn_sy)
+    ctr_est = jnp.round(idx.astype(jnp.float32) / span).astype(jnp.int32)
+    max_ctr = pn_table.shape[0]
+    band_ids = jnp.arange(4, dtype=jnp.int32)[None, :, None, None]
+    ctr, any_match = _resolve_counters(
+        hdr_ok, lo16, ctr_est[:, :, None, :], hop_table, band_ids, max_ctr)
+
+    pn_sy = 2.0 * pn_table[ctr].astype(jnp.float32) - 1.0  # (B,4,NP,K,1024)
+    llr = demod.payload_llr(chips, pn_sy)
+    info, crc_ok = hard_decode_batch(llr, spec)
+    row_ok = valid[:, :, None, :] & any_match
+    crc_ok = crc_ok & row_ok
+
+    # first CRC-passing candidate per clip, payload packed on device
+    flat_ok = crc_ok.reshape(B, -1)
+    best = jnp.argmax(flat_ok, axis=-1)
+    sel_ok = jnp.take_along_axis(flat_ok, best[:, None], -1)[:, 0]
+    sel_info = jnp.take_along_axis(
+        info.reshape(B, -1, info.shape[-1]), best[:, None, None], 1)[:, 0]
+    sel_ctr = jnp.take_along_axis(ctr.reshape(B, -1), best[:, None], -1)[:, 0]
+    pow2 = (2 ** jnp.arange(7, -1, -1, dtype=jnp.int32))
+    blob = jnp.sum(sel_info.reshape(B, -1, 8) * pow2, axis=-1).astype(
+        jnp.uint8)
+
+    # per-clip top-R soft rows (highest mean |LLR| among plausible rows)
+    # for the SCL fallback -- (B, R, 1024) + counters, ~16 KB/clip to host.
+    # R rows rather than 1: under band-selective impairment (e.g. the MP3
+    # lowpass killing the >=16 kHz hops) the loudest-LLR row is often a
+    # dead band's garbage; the surviving frame sits a few rows down.
+    R = min(4, 4 * llr.shape[2] * peaks)
+    quality = jnp.where(row_ok, jnp.mean(jnp.abs(llr), axis=-1), -jnp.inf)
+    _, qtop = jax.lax.top_k(quality.reshape(B, -1), R)      # (B, R)
+    scl_llr = jnp.take_along_axis(
+        llr.reshape(B, -1, llr.shape[-1]), qtop[..., None], 1)
+    scl_ctr = jnp.take_along_axis(ctr.reshape(B, -1), qtop, -1)
+
+    return dict(
+        ok=sel_ok, blob=blob, blob_ctr=sel_ctr,
+        scl_llr=scl_llr, scl_ctr=scl_ctr,
+        crc_ok=crc_ok, ctr=ctr,
+        peak_idx=idx, peak_val=val,
+        hdr_ok=hdr_ok, hdr_score=hdr_score,
+    )
+
+
 class BatchVerifier:
     """High-throughput multi-clip verifier (one device program per batch)."""
 
@@ -172,10 +291,8 @@ class BatchVerifier:
         self._hdr_pn_sy = jnp.asarray(bits_to_bpsk(self.sec.pn_bits(0, HDR_L)))
 
         # per-key device tables: one AES sweep covers every counter
-        ctrs = np.arange(max_ctr, dtype=np.int64)
-        pn = self.sec.pn_bits_batch(ctrs, FRAME_LEN)[:, PRE_L + HDR_L :]
-        self._pn_table = jnp.asarray(pn.astype(np.int8))
-        self._hop_table = jnp.asarray(self._hop.indices(ctrs).astype(np.int32))
+        self._pn_table, self._hop_table = _key_tables(
+            self.sec, self._hop, max_ctr)
 
     # ------------------------------------------------------------------ API
     def run_device(self, clips: np.ndarray, n_valid: np.ndarray | None = None):
@@ -222,17 +339,240 @@ class BatchVerifier:
         verdicts = np.zeros(ok.shape[0], dtype=bool)
         nonces: list[bytes | None] = [None] * ok.shape[0]
         for i in np.flatnonzero(ok):
-            blob = blobs[i].tobytes()
-            plain, _ = self.sec.open_any_layout(blob)
-            if plain is None and blob[:4] == MAGIC:
-                plain = blob
-            if plain is None or not plain.startswith(MAGIC):
-                continue
-            if int.from_bytes(plain[4:8], "big") != int(ctrs[i]):
-                continue
-            nonce = plain[8:16]
-            if expected_nonce is not None and nonce != expected_nonce:
-                continue
-            verdicts[i] = True
-            nonces[i] = nonce
+            nonce = self._accept_blob(blobs[i].tobytes(), int(ctrs[i]),
+                                      expected_nonce)
+            if nonce is not None:
+                verdicts[i] = True
+                nonces[i] = nonce
         return verdicts, nonces
+
+    def _accept_blob(self, blob: bytes, ctr: int,
+                     expected_nonce: bytes | None) -> bytes | None:
+        """AEAD open + magic/ctr (+optional nonce) ladder for one payload."""
+        plain, _ = self.sec.open_any_layout(blob)
+        if plain is None and blob[:4] == MAGIC:
+            plain = blob
+        if plain is None or not plain.startswith(MAGIC):
+            return None
+        if int.from_bytes(plain[4:8], "big") != ctr:
+            return None
+        nonce = plain[8:16]
+        if expected_nonce is not None and nonce != expected_nonce:
+            return None
+        return nonce
+
+
+class RobustBatchVerifier(BatchVerifier):
+    """Batched v2 (robust-profile) verification -- BASELINE config 5 scale.
+
+    One device dispatch covers the whole batch through sync, LS demod (both
+    regularisation profiles), header/counter resolution, LLR and the
+    hard-decision polar pass; a second, optional dispatch runs the
+    vectorised SCL list decoder over the per-clip best soft row for every
+    clip the hard pass missed (v2's noise margin lives in the list decoder
+    -- see tests/test_scl_proof.py).  Host work stays at AEAD opens plus
+    ~4 KB/clip of downloads.
+
+    Shares the counter tables, host finisher and anti-replay hooks with the
+    compat ``BatchVerifier`` (same payload format and PN/hop schedule --
+    the profiles differ only in waveform and polar info-set convention).
+    """
+
+    def __init__(self, key32: bytes, *, fs: int = 48_000,
+                 max_ctr: int = DEFAULT_MAX_CTR, peaks: int = 4,
+                 list_size: int = 32) -> None:
+        from echoseal_tpu.core.profiles import ROBUST, profile_spec
+        from echoseal_tpu.models.robust import (
+            LAM_PROFILES,
+            robust_demod_matrix,
+            robust_templates,
+        )
+
+        self.fs = fs
+        self.sec = SecureChannel(key32)
+        self._hop = hop_schedule(key32)
+        self.peaks = int(peaks)
+        self.profile = ROBUST
+        self.span = ROBUST.span
+        self._spec = profile_spec(ROBUST)
+        self._list_size = int(list_size)
+
+        S = ROBUST.oversample
+        self._templates = jnp.asarray(robust_templates(fs, S))
+        m = np.stack([
+            np.stack([robust_demod_matrix(lo, hi, fs, S, lam)
+                      for lam in LAM_PROFILES])
+            for lo, hi in BAND_PLAN
+        ])
+        self._m_stack = jnp.asarray(m)
+        self._pre_sy = jnp.asarray(bits_to_bpsk(mls63()))
+        self._hdr_pn_sy = jnp.asarray(bits_to_bpsk(self.sec.pn_bits(0, HDR_L)))
+        self._pn_table, self._hop_table = _key_tables(
+            self.sec, self._hop, max_ctr)
+
+    # ------------------------------------------------------------------ API
+    def run_device(self, clips: np.ndarray, n_valid: np.ndarray | None = None):
+        clips = jnp.asarray(clips, dtype=jnp.float32)
+        B, T = clips.shape
+        if n_valid is None:
+            n_valid = np.full(B, T, dtype=np.int32)
+        return _batch_verify_stage_v2(
+            clips, jnp.asarray(n_valid, dtype=jnp.int32),
+            self._templates, self._m_stack, self._pre_sy, self._hdr_pn_sy,
+            self._pn_table, self._hop_table,
+            peaks=self.peaks, span=self.span, spec=self._spec,
+        )
+
+    def verify_batch(self, clips: np.ndarray,
+                     n_valid: np.ndarray | None = None, *,
+                     expected_nonce: bytes | None = None,
+                     use_scl: bool = True) -> np.ndarray:
+        out = self.run_device(clips, n_valid)
+        verdicts, _ = self.finish_host_detailed(
+            out, expected_nonce=expected_nonce)
+        if use_scl and not verdicts.all():
+            verdicts |= self._scl_fallback(out, ~verdicts, expected_nonce)
+        return verdicts
+
+    # ------------------------------------------------- time-scale recovery
+    def verify_batch_recover(self, clips: np.ndarray,
+                             n_valid: np.ndarray | None = None, *,
+                             expected_nonce: bytes | None = None) -> np.ndarray:
+        """``verify_batch`` plus batched +-5% playback-speed recovery.
+
+        Mirrors the single-clip ladder (models/robust.py verify_detailed)
+        at batch granularity: clips the plain pass misses get one
+        sync-only scaled-template scan each (device), are group-resampled
+        per recovered factor on the host (one polyphase call per distinct
+        factor), re-verified in one dispatch, and still-failing clips get
+        one inter-peak-spacing refinement round.  Cost: 2 extra device
+        dispatches + host resamples, only for the failing subset.
+        """
+        from echoseal_tpu.models.robust import (
+            SCALE_SCAN_GRID,
+            _scale_scan_stage,
+            scaled_template_bank,
+        )
+
+        clips = np.asarray(clips, dtype=np.float32)
+        B, Tpad = clips.shape
+        if n_valid is None:
+            n_valid = np.full(B, Tpad, dtype=np.int32)
+        n_valid = np.asarray(n_valid, dtype=np.int32)
+
+        out = self.run_device(clips, n_valid)
+        verdicts, _ = self.finish_host_detailed(
+            out, expected_nonce=expected_nonce)
+        if not verdicts.all():
+            verdicts |= self._scl_fallback(out, ~verdicts, expected_nonce)
+        fail = np.flatnonzero(~verdicts)
+        if fail.size == 0:
+            return verdicts
+
+        bank = jnp.asarray(scaled_template_bank(
+            self.fs, self.profile.oversample))
+        factors: dict[int, float] = {}
+        for i in fail:
+            score = np.asarray(_scale_scan_stage(
+                jnp.asarray(clips[i]), jnp.int32(n_valid[i]), bank))
+            per = score.reshape(len(SCALE_SCAN_GRID), 4).max(axis=1)
+            med = np.median(per)
+            mad = np.median(np.abs(per - med)) + 1e-9
+            b = int(np.argmax(per))
+            f = float(SCALE_SCAN_GRID[b])
+            if (per[b] >= max(med + 2.0 * 1.4826 * mad, 1.15 * med)
+                    and abs(f - 1.0) > 1e-4):
+                factors[int(i)] = f
+        return self._retry_scaled(clips, n_valid, factors, verdicts,
+                                  expected_nonce, refine=True)
+
+    def _retry_scaled(self, clips, n_valid, factors: dict[int, float],
+                      verdicts: np.ndarray, expected_nonce: bytes | None,
+                      refine: bool) -> np.ndarray:
+        """Group-resample ``factors`` clips, re-verify, optionally refine."""
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        from echoseal_tpu.models.robust import estimate_timescale_from_peaks
+
+        if not factors:
+            return verdicts
+        Tpad = clips.shape[1]
+        groups: dict[float, list[int]] = {}
+        for i, f in factors.items():
+            groups.setdefault(round(f, 6), []).append(i)
+
+        sel: list[int] = []
+        rows: list[np.ndarray] = []
+        nv2: list[int] = []
+        for f, members in groups.items():
+            den = int(round(self.fs * f))
+            g = gcd(self.fs, den)
+            y = resample_poly(clips[members], self.fs // g, den // g,
+                              axis=-1).astype(np.float32)
+            for r, i in enumerate(members):
+                row = np.zeros(Tpad, np.float32)
+                L = min(y.shape[1], Tpad)
+                row[:L] = y[r, :L]
+                sel.append(i)
+                rows.append(row)
+                nv2.append(min(int(int(n_valid[i]) * self.fs / den), L))
+        batch = np.stack(rows)
+        out = self.run_device(batch, np.asarray(nv2, np.int32))
+        vr, _ = self.finish_host_detailed(out, expected_nonce=expected_nonce)
+        if not vr.all():
+            vr |= self._scl_fallback(out, ~vr, expected_nonce)
+        for r, i in enumerate(sel):
+            verdicts[i] |= vr[r]
+
+        if refine:
+            peak_idx = np.asarray(out["peak_idx"])
+            peak_val = np.asarray(out["peak_val"])
+            nxt: dict[int, float] = {}
+            for r, i in enumerate(sel):
+                if verdicts[i]:
+                    continue
+                peaks = np.where(np.isfinite(peak_val[r]), peak_idx[r], -1)
+                fine = estimate_timescale_from_peaks(peaks, self.span)
+                if fine is not None and abs(fine - 1.0) > 1e-4:
+                    nxt[i] = factors[i] * fine
+            verdicts = self._retry_scaled(clips, n_valid, nxt, verdicts,
+                                          expected_nonce, refine=False)
+        return verdicts
+
+    # ----------------------------------------------------------- SCL stage
+    def _scl_fallback(self, out, mask: np.ndarray,
+                      expected_nonce: bytes | None) -> np.ndarray:
+        """List-decode the exported top-R soft rows of each masked clip."""
+        from echoseal_tpu.ops.scl import scl_decode
+
+        rescued = np.zeros(mask.shape[0], dtype=bool)
+        clips_f = np.flatnonzero(mask)
+        if clips_f.size == 0:
+            return rescued
+        R = out["scl_llr"].shape[1]
+        llr = np.asarray(out["scl_llr"])[clips_f].reshape(-1, 1024)
+        ctrs = np.asarray(out["scl_ctr"])[clips_f].reshape(-1)
+        n_rows = llr.shape[0]
+        # pad to a power-of-two bucket: one compile per bucket, not per count
+        bucket = 8
+        while bucket < n_rows:
+            bucket <<= 1
+        if n_rows < bucket:
+            llr = np.concatenate(
+                [llr, np.zeros((bucket - n_rows, llr.shape[1]), np.float32)])
+        res = scl_decode(jnp.asarray(llr), self._spec, self._list_size)
+        ok = np.asarray(res["crc_ok"])[:n_rows]
+        bits = np.asarray(res["info_bits"])[:n_rows]
+        for r in range(n_rows):
+            i = clips_f[r // R]
+            if rescued[i]:
+                continue
+            for li in np.flatnonzero(ok[r]):
+                nonce = self._accept_blob(pack_info_bits(bits[r, li]),
+                                          int(ctrs[r]), expected_nonce)
+                if nonce is not None:
+                    rescued[i] = True
+                    break
+        return rescued

@@ -59,3 +59,72 @@ def test_shard_map_verify_multidevice(batch):
     assert int(out["n_crc_ok"]) >= 8        # every clip has a decode
     verdicts = bv.finish_host(out)
     assert bool(np.all(verdicts))
+
+
+# ---------------------------------------------------------------- v2 batch
+@pytest.fixture(scope="module")
+def v2_batch(key32):
+    """4 v2 clips: clean loud-host, MP3-sim, silence+AWGN(+4dB), no wm."""
+    from echoseal_tpu.models.robust import RobustEmbedder
+    from echoseal_tpu.utils import channels
+
+    T = int(3.5 * FS)
+    Tpad = 1 << 18
+    host = (0.15 * np.sin(2 * np.pi * 700 * np.arange(T) / FS)
+            ).astype(np.float32)
+    wm_loud = RobustEmbedder(key32).process(host)
+    wm_sil = RobustEmbedder(key32).process(np.zeros(T, np.float32))
+    rms = float(np.sqrt(np.mean(wm_sil**2)))
+    rng = np.random.default_rng(3)
+    clips = np.zeros((4, Tpad), np.float32)
+    clips[0, :T] = wm_loud
+    clips[1, :T] = channels.codec_sim(wm_loud, 128.0)[:T]
+    clips[2, :T] = wm_sil + rms * 10 ** (-4 / 20) * rng.standard_normal(
+        T).astype(np.float32)
+    clips[3, :T] = 0.05 * rng.standard_normal(T).astype(np.float32)
+    return clips, np.full(4, T, dtype=np.int32)
+
+
+def test_robust_batch_verifier(key32, v2_batch):
+    """One-dispatch v2 batch: hard pass + SCL fallback (BASELINE config 5).
+
+    The MP3-sim and AWGN rows are only decodable through the list decoder
+    (their hard pass fails -- asserted below), so this pins the SCL
+    fallback stage as load-bearing in the serving tier, not dead config.
+    """
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    clips, nv = v2_batch
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    hard = bv.verify_batch(clips, nv, use_scl=False)
+    assert bool(hard[0]) and not bool(hard[3])
+    assert not bool(hard[1]) and not bool(hard[2])   # need the list decoder
+    full = bv.verify_batch(clips, nv)
+    assert full.tolist() == [True, True, True, False]
+
+
+def test_robust_batch_timescale_recovery(key32, v2_batch):
+    """Batched +-5% playback-speed recovery with no caller hint.
+
+    Scan (device) -> grouped host resample -> one re-verify dispatch ->
+    peak-spacing refinement round, mirroring the single-clip ladder.
+    """
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+    from echoseal_tpu.models.robust import RobustEmbedder
+    from echoseal_tpu.utils import channels
+
+    T = int(3.5 * FS)
+    Tpad = 1 << 18
+    host = (0.15 * np.sin(2 * np.pi * 700 * np.arange(T) / FS)
+            ).astype(np.float32)
+    wm = RobustEmbedder(key32).process(host)
+    clips = np.zeros((2, Tpad), np.float32)
+    nv = np.zeros(2, np.int32)
+    for i, f in enumerate((1.031, 0.978)):      # off the scan grid
+        y = channels.time_scale(wm, f)
+        L = min(y.size, Tpad)
+        clips[i, :L] = y[:L]
+        nv[i] = L
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    assert not bv.verify_batch(clips, nv).any()         # hidden without it
+    assert bv.verify_batch_recover(clips, nv).all()
