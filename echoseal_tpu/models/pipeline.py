@@ -155,6 +155,11 @@ def _batch_verify_stage(
         ctr=ctr,                   # (B, 4, P)
         peak_idx=idx, peak_val=val,
         pre_score=pre_best, hdr_ok=hdr_ok, hdr_score=hdr_score,
+        hdr_lo16=lo16,             # (B, 4, P) raw 16-bit header reads
+        chips=chips,               # (B, 4, P, 1215) refined chip estimates
+        # chips/hdr_lo16 feed the host-side extended-counter pass; device
+        # outputs are lazy, so exporting them costs nothing until a failed
+        # clip actually needs the escalation download.
     )
 
 
@@ -310,10 +315,80 @@ class BatchVerifier:
 
     def verify_batch(self, clips: np.ndarray,
                      n_valid: np.ndarray | None = None, *,
-                     expected_nonce: bytes | None = None) -> np.ndarray:
-        """(B, T) float32 clips -> (B,) bool verdicts."""
+                     expected_nonce: bytes | None = None,
+                     max_stream_frames: int = 1 << 20) -> np.ndarray:
+        """(B, T) float32 clips -> (B,) bool verdicts.
+
+        Clips whose frame counters exceed the device PN table (``max_ctr``
+        frames ~ 7 min at the default) are resolved by the host-side
+        extended-counter pass: the 16-bit header pins ``ctr mod 2**16``,
+        so candidates ``lo16 + m * 2**16`` up to ``max_stream_frames``
+        (default ~7.4 h of stream, matching RxParams.max_stream_frames)
+        are despread with freshly generated PN and hard-decoded in one
+        extra dispatch -- only for clips the table pass missed.
+        """
         out = self.run_device(clips, n_valid)
-        return self.finish_host(out, expected_nonce=expected_nonce)
+        verdicts = self.finish_host(out, expected_nonce=expected_nonce)
+        if not verdicts.all():
+            verdicts |= self._extended_counter_pass(
+                out, ~verdicts, expected_nonce, max_stream_frames)
+        return verdicts
+
+    def _extended_counter_pass(self, out, mask: np.ndarray,
+                               expected_nonce: bytes | None,
+                               max_stream_frames: int) -> np.ndarray:
+        """Header-gated ``lo16 + m*2**16`` fan-out beyond the PN table."""
+        from echoseal_tpu.models.detector import _cand_bucket, _llr_stage
+
+        rescued = np.zeros(mask.shape[0], dtype=bool)
+        max_ctr = self._pn_table.shape[0]
+        n_mult = -(-max_stream_frames >> 16)
+        if n_mult <= 0:
+            return rescued
+        hdr_ok = np.asarray(out["hdr_ok"])
+        lo16 = np.asarray(out["hdr_lo16"])
+        rows: list[tuple[int, int, int, int]] = []   # (clip, band, peak, ctr)
+        for i in np.flatnonzero(mask):
+            for b in range(hdr_ok.shape[1]):
+                for p in range(hdr_ok.shape[2]):
+                    if not hdr_ok[i, b, p]:
+                        continue
+                    base = int(lo16[i, b, p])
+                    for m in range(n_mult):
+                        c = base + (m << 16)
+                        # counters the table pass already despread are done
+                        if c < max_ctr or c >= max_stream_frames:
+                            continue
+                        if self._hop.index(c) == b:
+                            rows.append((i, b, p, c))
+        if not rows:
+            return rescued
+
+        chips_all = np.asarray(out["chips"])
+        chips = np.stack([chips_all[i, b, p] for i, b, p, _ in rows])
+        ctrs = np.asarray([c for _, _, _, c in rows], dtype=np.int64)
+        uniq, inv = np.unique(ctrs, return_inverse=True)
+        pn = self.sec.pn_bits_batch(uniq, FRAME_LEN)[:, PRE_L + HDR_L :]
+        pn_sy = 2.0 * pn[inv].astype(np.float32) - 1.0
+
+        n = chips.shape[0]
+        pad = _cand_bucket(n) - n
+        if pad:
+            chips = np.concatenate(
+                [chips, np.zeros((pad,) + chips.shape[1:], np.float32)])
+            pn_sy = np.concatenate(
+                [pn_sy, np.ones((pad,) + pn_sy.shape[1:], np.float32)])
+        _, info, crc_ok = _llr_stage(jnp.asarray(chips), jnp.asarray(pn_sy))
+        info = np.asarray(info)[:n]
+        for r in np.flatnonzero(np.asarray(crc_ok)[:n]):
+            i = rows[r][0]
+            if rescued[i]:
+                continue
+            nonce = self._accept_blob(pack_info_bits(info[r]),
+                                      int(ctrs[r]), expected_nonce)
+            if nonce is not None:
+                rescued[i] = True
+        return rescued
 
     def finish_host(self, out, *,
                     expected_nonce: bytes | None = None) -> np.ndarray:
@@ -380,7 +455,7 @@ class RobustBatchVerifier(BatchVerifier):
 
     def __init__(self, key32: bytes, *, fs: int = 48_000,
                  max_ctr: int = DEFAULT_MAX_CTR, peaks: int = 4,
-                 list_size: int = 32) -> None:
+                 list_size: int = 32, profile=None) -> None:
         from echoseal_tpu.core.profiles import ROBUST, profile_spec
         from echoseal_tpu.models.robust import (
             LAM_PROFILES,
@@ -392,12 +467,12 @@ class RobustBatchVerifier(BatchVerifier):
         self.sec = SecureChannel(key32)
         self._hop = hop_schedule(key32)
         self.peaks = int(peaks)
-        self.profile = ROBUST
-        self.span = ROBUST.span
-        self._spec = profile_spec(ROBUST)
+        self.profile = ROBUST if profile is None else profile
+        self.span = self.profile.span
+        self._spec = profile_spec(self.profile)
         self._list_size = int(list_size)
 
-        S = ROBUST.oversample
+        S = self.profile.oversample
         self._templates = jnp.asarray(robust_templates(fs, S))
         m = np.stack([
             np.stack([robust_demod_matrix(lo, hi, fs, S, lam)

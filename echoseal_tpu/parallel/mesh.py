@@ -63,6 +63,7 @@ def shard_verify(verifier, mesh: Mesh):
             ctr=P(STREAM_AXIS), peak_idx=P(STREAM_AXIS),
             peak_val=P(STREAM_AXIS), pre_score=P(STREAM_AXIS),
             hdr_ok=P(STREAM_AXIS), hdr_score=P(STREAM_AXIS),
+            hdr_lo16=P(STREAM_AXIS), chips=P(STREAM_AXIS),
             n_crc_ok=P(),
         ),
         check_vma=False,

@@ -128,3 +128,27 @@ def test_robust_batch_timescale_recovery(key32, v2_batch):
     bv = RobustBatchVerifier(key32, max_ctr=4096)
     assert not bv.verify_batch(clips, nv).any()         # hidden without it
     assert bv.verify_batch_recover(clips, nv).all()
+
+
+def test_batch_verify_past_pn_table_ceiling(key32):
+    """A clip cut past the device PN table (ctr >= 2**16) still verifies.
+
+    The round-1 pipeline silently failed here (table pass only); the
+    extended-counter pass resolves lo16 + m*2**16 with host-generated PN.
+    """
+    from echoseal_tpu.models.pipeline import BatchVerifier
+
+    be = BatchEmbedder(key32)
+    T = 3 * FS
+    Tpad = 1 << 18
+    n_frames = -(-T // FRAME_LEN)
+    scale = 10.0 ** (be.p.floor_rel_dbfs / 20.0)
+    sc = 70_000                      # ~29.5 min into the stream, > 2**16
+    fr = be.frames(np.arange(sc, sc + n_frames), session_nonce=bytes(8))
+    clips = np.zeros((1, Tpad), dtype=np.float32)
+    clips[0, :T] = fr.reshape(-1)[:T] * scale
+    nv = np.full(1, T, dtype=np.int32)
+    bv = BatchVerifier(key32, max_ctr=4096)
+    out = bv.run_device(clips, nv)
+    assert not bv.finish_host(out).any()          # table pass alone misses
+    assert bv.verify_batch(clips, nv).all()       # escalation resolves it
