@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    help="save first 10 s of output to WAV")
     p.add_argument("--infile", help="offline mode: watermark this WAV file")
     p.add_argument("--outfile", help="offline mode: output WAV path")
+    p.add_argument("--native", action="store_true",
+                   help="mix in the C ring mixer (lock-free audio callback; "
+                        "frames rendered on a feeder thread)")
     return p.parse_args(argv)
 
 
@@ -51,6 +54,16 @@ def main(argv=None) -> int:
     from echoseal_tpu.models.embedder import WatermarkEmbedder
 
     embedder = WatermarkEmbedder(key)
+    if args.native:
+        from echoseal_tpu import native
+
+        if native.available():
+            from echoseal_tpu.native.stream import NativeStreamEmbedder
+
+            embedder = NativeStreamEmbedder(key)
+        else:
+            print("--native: no C compiler available, using Python mixer",
+                  file=sys.stderr)
 
     if args.infile:
         from echoseal_tpu.io import wavio

@@ -59,9 +59,12 @@ from echoseal_tpu.core.sequences import bits_to_bpsk, mls63
 from echoseal_tpu.ops import demod, filters
 from echoseal_tpu.ops.polar import hard_decode_batch, pack_info_bits, polar_spec
 from echoseal_tpu.ops.scl import scl_decode
+from echoseal_tpu.utils.logging import Timer, get_logger
 
 MIN_CLIP_SECONDS = 3.0
 N_OFFSETS = len(demod.SYNC_OFFSETS)
+
+_LOG = get_logger("rx")
 
 
 def resample_to(fs_target: int, audio: np.ndarray, fs_in: int) -> np.ndarray:
@@ -247,7 +250,10 @@ class WatermarkDetector:
         signal = resample_to(self.fs_target, audio, fs_in)
         if signal.size < int(MIN_CLIP_SECONDS * self.fs_target):
             return VerifyResult(False, stage=None)
-        return self._verify_signal(signal)
+        res = self._verify_signal(signal)
+        _LOG.event("verdict", authentic=res.authentic, stage=res.stage,
+                   tries=res.tries, ctr=res.frame_ctr)
+        return res
 
     def verify_raw_frame(self, frame: np.ndarray) -> bool:
         """Single synthesized-frame check (reference detector.py:235-245)."""
@@ -264,12 +270,15 @@ class WatermarkDetector:
         x = np.zeros(Tpad, dtype=np.float32)
         x[:T] = signal
 
-        out = _scan_stage(
-            jnp.asarray(x), jnp.int32(T), self._templates, self._fir_bank,
-            self._m_direct, self._m_cascade, self._t_fwd, self._pre_sy,
-            self._hdr_pn_sy,
-        )
-        out = {k: np.asarray(v) for k, v in out.items()}
+        with Timer("rx.scan_stage"):
+            out = _scan_stage(
+                jnp.asarray(x), jnp.int32(T), self._templates, self._fir_bank,
+                self._m_direct, self._m_cascade, self._t_fwd, self._pre_sy,
+                self._hdr_pn_sy,
+            )
+            out = {k: np.asarray(v) for k, v in out.items()}
+        _LOG.event("scan", T=T, n_peaks=int(out["peak_valid"].sum()),
+                   thr=np.round(out["corr_thr"], 3).tolist())
 
         # ---------------- candidate construction (host) -------------------
         hop0 = self._hop.index(0)
@@ -362,11 +371,13 @@ class WatermarkDetector:
         else:
             chips_in, pn_in = chips, pn_sy
 
-        llr, info, crc_ok = _llr_stage(jnp.asarray(chips_in),
-                                       jnp.asarray(pn_in))
-        llr = np.asarray(llr)[:n_cand]
-        info = np.asarray(info)[:n_cand]
-        crc_ok = np.asarray(crc_ok)[:n_cand]
+        with Timer("rx.llr_stage"):
+            llr, info, crc_ok = _llr_stage(jnp.asarray(chips_in),
+                                           jnp.asarray(pn_in))
+            llr = np.asarray(llr)[:n_cand]
+            info = np.asarray(info)[:n_cand]
+            crc_ok = np.asarray(crc_ok)[:n_cand]
+        _LOG.event("llr", n_cand=n_cand, n_hard_crc=int(crc_ok.sum()))
 
         # ------------------- hard-decision fast path ----------------------
         for i in np.flatnonzero(crc_ok):
@@ -428,10 +439,13 @@ class WatermarkDetector:
                     batch = np.concatenate(
                         [batch, np.zeros((scl_batch - rows.size,
                                           batch.shape[1]), np.float32)])
-                res = scl_decode(jnp.asarray(batch), self._spec,
-                                 self._list_size)
-                ok = np.asarray(res["crc_ok"])
-                bits = np.asarray(res["info_bits"])
+                with Timer("rx.scl"):
+                    res = scl_decode(jnp.asarray(batch), self._spec,
+                                     self._list_size)
+                    ok = np.asarray(res["crc_ok"])
+                    bits = np.asarray(res["info_bits"])
+                _LOG.event("scl", rows=int(rows.size), retry=retry,
+                           n_crc=int(ok.sum()))
                 for rloc, r in enumerate(rows):
                     for li in np.flatnonzero(ok[rloc]):
                         acc = self._accept(bits[rloc, li], int(ctrs[r]))

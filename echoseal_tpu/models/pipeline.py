@@ -38,6 +38,9 @@ from echoseal_tpu.ops.polar import (
     pack_info_bits,
     polar_spec,
 )
+from echoseal_tpu.utils.logging import Timer, get_logger
+
+_LOG = get_logger("pipeline")
 
 DEFAULT_MAX_CTR = 16_384     # ~7 min of stream @ 39.5 frames/s
 DEFAULT_PEAKS = 2            # sync peaks examined per band per clip
@@ -327,11 +330,14 @@ class BatchVerifier:
         are despread with freshly generated PN and hard-decoded in one
         extra dispatch -- only for clips the table pass missed.
         """
-        out = self.run_device(clips, n_valid)
-        verdicts = self.finish_host(out, expected_nonce=expected_nonce)
+        with Timer("pipeline.compat_batch"):
+            out = self.run_device(clips, n_valid)
+            verdicts = self.finish_host(out, expected_nonce=expected_nonce)
         if not verdicts.all():
             verdicts |= self._extended_counter_pass(
                 out, ~verdicts, expected_nonce, max_stream_frames)
+        _LOG.event("compat_batch", B=int(verdicts.size),
+                   accepted=int(verdicts.sum()))
         return verdicts
 
     def _extended_counter_pass(self, out, mask: np.ndarray,
@@ -502,11 +508,16 @@ class RobustBatchVerifier(BatchVerifier):
                      n_valid: np.ndarray | None = None, *,
                      expected_nonce: bytes | None = None,
                      use_scl: bool = True) -> np.ndarray:
-        out = self.run_device(clips, n_valid)
-        verdicts, _ = self.finish_host_detailed(
-            out, expected_nonce=expected_nonce)
+        with Timer("pipeline.v2_batch"):
+            out = self.run_device(clips, n_valid)
+            verdicts, _ = self.finish_host_detailed(
+                out, expected_nonce=expected_nonce)
+        n_hard = int(verdicts.sum())
         if use_scl and not verdicts.all():
-            verdicts |= self._scl_fallback(out, ~verdicts, expected_nonce)
+            with Timer("pipeline.v2_scl"):
+                verdicts |= self._scl_fallback(out, ~verdicts, expected_nonce)
+        _LOG.event("v2_batch", B=int(verdicts.size), hard=n_hard,
+                   accepted=int(verdicts.sum()))
         return verdicts
 
     # ------------------------------------------------- time-scale recovery

@@ -42,6 +42,9 @@ from echoseal_tpu.models.embedder import db_to_lin
 from echoseal_tpu.ops import demod, filters
 from echoseal_tpu.ops.polar import encode_np, hard_decode_batch, pack_info_bits
 from echoseal_tpu.ops.scl import scl_decode
+from echoseal_tpu.utils.logging import get_logger
+
+_LOG = get_logger("rx.v2")
 
 MIN_CLIP_SECONDS = 3.0
 # LS regularisation ladder for the oversampled model: the in-band energy
@@ -294,6 +297,8 @@ class RobustVerifier:
             return VerifyResult(False, stage=None)
         res = self._verify_once(signal)
         if res.authentic:
+            _LOG.event("verdict", authentic=True, stage=res.stage,
+                       tries=res.tries, ctr=res.frame_ctr)
             return res
 
         # ---- time-scale recovery ladder ---------------------------------
@@ -314,6 +319,8 @@ class RobustVerifier:
             tried.add(f)
             r = self._verify_scaled(signal, f)
             if r.authentic:
+                _LOG.event("verdict", authentic=True, stage=r.stage,
+                           timescale=r.timescale, ctr=r.frame_ctr)
                 return r
             fine = self._estimate_timescale(r.peaks)
             if fine is not None and abs(fine - 1.0) > 1e-4:
@@ -322,7 +329,10 @@ class RobustVerifier:
                     tried.add(f2)
                     r = self._verify_scaled(signal, f2)
                     if r.authentic:
+                        _LOG.event("verdict", authentic=True, stage=r.stage,
+                                   timescale=r.timescale, ctr=r.frame_ctr)
                         return r
+        _LOG.event("verdict", authentic=False, tried=sorted(tried))
         return VerifyResult(False, stage=None)
 
     def _correction_candidates(self, signal: np.ndarray, res0):

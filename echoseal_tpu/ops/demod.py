@@ -34,6 +34,7 @@ The detector scores both and lets the FEC decide.
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -348,8 +349,24 @@ def payload_llr(chips: jnp.ndarray, pn_sy: jnp.ndarray,
     Scaling is the Gaussian-mixture moment estimate: with z ~ +-a + n,
     E[z^2] = a^2 + s^2 and E|z| ~= a for a >> s, so
     llr = 2 a z / s^2 after unit-power normalisation.
+
+    On TPU the whole chain runs as the fused Pallas kernel
+    (ops/pallas/llr_kernel.py, one VMEM pass per 8-row block; numerics
+    pinned to this path by tests/test_pallas.py).  ``jax.default_backend``
+    is a trace-time constant, so the branch costs nothing at runtime; set
+    ``ECHOSEAL_NO_PALLAS=1`` to force the XLA path.
     """
-    z = chips[..., PRE_L + HDR_L :] * pn_sy
+    payload = chips[..., PRE_L + HDR_L :]
+    if (payload.shape[-1] == 1024 and clip == 16.0
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("ECHOSEAL_NO_PALLAS")):
+        from echoseal_tpu.ops.pallas.llr_kernel import payload_llr_pallas
+
+        lead = payload.shape[:-1]
+        out = payload_llr_pallas(payload.reshape(-1, 1024),
+                                 pn_sy.reshape(-1, 1024))
+        return out.reshape(lead + (1024,))
+    z = payload * pn_sy
     power = jnp.mean(z * z, axis=-1, keepdims=True) + 1e-20
     zn = z * jax.lax.rsqrt(power)
     amp = jnp.clip(jnp.mean(jnp.abs(zn), axis=-1, keepdims=True), 0.05, 1.0)
