@@ -31,6 +31,15 @@ Two model variants are built:
   out-of-band hosts, ~2x worse chip SNR on clean ones.
 
 The detector scores both and lets the FEC decide.
+
+Why no host-rejection profile exists (measured): T's singular spectrum
+for the 18-22 kHz band falls to ~2.5e-6 by index 1100 -- the last ~100
+chip dimensions are carried entirely by the LOW-frequency truncation
+leakage.  Projecting out <3.6 kHz (where any speech/music host lives)
+drops those to ~7e-10 and the exact inversion collapses to chance even on
+clean captures.  A host in that band is information-fatal to this wire
+format, not a demodulation shortcoming -- use the v2 profile for hosts
+(core/profiles.py).
 """
 from __future__ import annotations
 
