@@ -21,6 +21,10 @@ def parse_args(argv=None):
                    help="SCL list size (default 256)")
     p.add_argument("--batch", action="store_true",
                    help="use the batched pipeline (many files, one dispatch)")
+    p.add_argument("--profile", choices=("compat", "v2"), default="compat",
+                   help="waveform profile: reference-compatible (default) "
+                        "or robust v2 (oversampled chips; survives codecs, "
+                        "loud hosts, time-scaling)")
     return p.parse_args(argv)
 
 
@@ -51,17 +55,28 @@ def main(argv=None) -> int:
         batch = np.zeros((len(clips), Tpad), dtype=np.float32)
         for i, c in enumerate(clips):
             batch[i, : c.size] = c
-        verdicts = BatchVerifier(key).verify_batch(
-            batch, np.asarray(lens, dtype=np.int32))
+        if args.profile == "v2":
+            from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+            verdicts = RobustBatchVerifier(key).verify_batch_recover(
+                batch, np.asarray(lens, dtype=np.int32))
+        else:
+            verdicts = BatchVerifier(key).verify_batch(
+                batch, np.asarray(lens, dtype=np.int32))
         rc = 0
         for path, ok in zip(args.audio, verdicts):
             print(f"{path}: {'authentic' if ok else 'tampered / no watermark'}")
             rc |= 0 if ok else 1
         return rc
 
-    from echoseal_tpu.models.detector import WatermarkDetector
+    if args.profile == "v2":
+        from echoseal_tpu.models.robust import RobustVerifier
 
-    detector = WatermarkDetector(key, list_size=args.list_size)
+        detector = RobustVerifier(key, list_size=min(args.list_size, 32))
+    else:
+        from echoseal_tpu.models.detector import WatermarkDetector
+
+        detector = WatermarkDetector(key, list_size=args.list_size)
     rc = 0
     for path in args.audio:
         data, fs = wavio.read(path)

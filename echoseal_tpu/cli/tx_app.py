@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    help="save first 10 s of output to WAV")
     p.add_argument("--infile", help="offline mode: watermark this WAV file")
     p.add_argument("--outfile", help="offline mode: output WAV path")
+    p.add_argument("--profile", choices=("compat", "v2"), default="compat",
+                   help="waveform profile to embed (v2 = robust oversampled "
+                        "chips, wire-incompatible with the reference)")
     p.add_argument("--native", action="store_true",
                    help="mix in the C ring mixer (lock-free audio callback; "
                         "frames rendered on a feeder thread)")
@@ -51,10 +54,18 @@ def main(argv=None) -> int:
     if len(key) != 32:
         raise SystemExit("key must be 256-bit (64 hex chars)")
 
-    from echoseal_tpu.models.embedder import WatermarkEmbedder
+    if args.profile == "v2":
+        from echoseal_tpu.models.robust import RobustEmbedder
 
-    embedder = WatermarkEmbedder(key)
-    if args.native:
+        embedder = RobustEmbedder(key)
+    else:
+        from echoseal_tpu.models.embedder import WatermarkEmbedder
+
+        embedder = WatermarkEmbedder(key)
+    if args.native and args.profile == "v2":
+        print("--native applies to the compat mixer; using Python mixer",
+              file=sys.stderr)
+    elif args.native:
         from echoseal_tpu import native
 
         if native.available():

@@ -59,3 +59,25 @@ def test_cli_offline_tx_then_rx(tmp_path, key32, capsys):
 def test_cli_rejects_bad_key():
     with pytest.raises(SystemExit):
         tx_app.main(["--key", "aa" * 24])   # valid hex, wrong length
+
+
+def test_cli_v2_profile_roundtrip(tmp_path, key32):
+    """echoseal-tx --profile v2 -> echoseal-rx --profile v2 (offline WAVs)."""
+    import numpy as np
+
+    from echoseal_tpu.cli import rx_app, tx_app
+    from echoseal_tpu.io import wavio
+
+    host = tmp_path / "host.wav"
+    wm = tmp_path / "wm.wav"
+    wavio.write(str(host), np.zeros(4 * 48_000, np.float32), 48_000)
+    rc = tx_app.main(["--key", key32.hex(), "--profile", "v2",
+                      "--infile", str(host), "--outfile", str(wm)])
+    assert rc == 0
+    rc = rx_app.main(["--key", key32.hex(), "--profile", "v2",
+                      "--audio", str(wm)])
+    assert rc == 0
+    # compat RX must NOT accept a v2 stream (wire-incompatible by design)
+    rc = rx_app.main(["--key", key32.hex(), "--audio", str(wm),
+                      "--list-size", "8"])
+    assert rc == 1
