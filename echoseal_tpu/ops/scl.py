@@ -24,6 +24,7 @@ stable candidate ordering (path index, then bit value).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -236,66 +237,146 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
 
     frozen = jnp.asarray(spec.frozen)
     ident = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L))
+    slot_ax = jnp.arange(2, dtype=jnp.int32)
+
+    # ---- level partition -------------------------------------------------
+    # Gather-type HLOs on this backend cost ~(B*L) row-operations of FIXED
+    # overhead each (measured ~0.2-0.6 ms at B=128, L=256), so the design
+    # minimises the NUMBER of gathers per leaf, not bytes:
+    #   * DEEP levels (seg <= 16) -- which recompute/propagate almost every
+    #     leaf -- live as small DENSE per-path arrays (da/db) that ride the
+    #     single fork gather; their reads/writes are static slices.
+    #   * SHALLOW levels (big buffers, rare recompute) keep per-path source
+    #     index maps; a fork permutes the maps, and the buffers are only
+    #     gathered on their (rare) recompute/propagate events.
+    # Everything forkable -- index maps, deep betas, deep alphas (bitcast
+    # f32->int32) -- is stacked so a fork is ONE take_along_axis.
+    # TPU: wide deep tier (seg <= 16) -- per-gather overhead dominates, so
+    # keep the frequently-touched levels dense.  CPU: deep tier = level n
+    # only -- XLA:CPU does not fuse the in-scan slice updates, so a wide
+    # dense tier costs full-array copies per step (measured 6x slower).
+    default_seg = 16 if jax.default_backend() == "tpu" else 1
+    deep_seg = int(os.environ.get("ECHOSEAL_SCL_DEEP_SEG", default_seg))
+    ld0 = next((l for l in range(1, n + 1) if (N >> l) <= deep_seg), n)
+    ld0 = max(ld0, 2)                       # keep level 1 shallow (root)
+    ns = ld0 - 1                            # number of shallow levels
+    deep = list(range(ld0, n + 1))
+    segs = {l: N >> l for l in deep}
+    offs = {}
+    A = 0
+    for l in deep:
+        offs[l] = A
+        A += segs[l]
+    off_n = offs[n]
 
     alphas = tuple(
-        jnp.zeros((B, L, N >> l), jnp.float32) for l in range(1, n + 1)
+        jnp.zeros((B, L, N >> l), jnp.float32) for l in range(1, ld0)
     )
     betas = tuple(
-        jnp.zeros((B, L, 2, N >> l), jnp.int32) for l in range(1, n + 1)
+        jnp.zeros((B, L, 2, N >> l), jnp.int32) for l in range(1, ld0)
     )
-    src_a = tuple(ident for _ in range(n))
-    src_b = tuple(ident for _ in range(n))
+    da = jnp.zeros((B, L, A), jnp.float32)
+    db = jnp.zeros((B, L, 2, A), jnp.int32)
+    # stacked shallow source maps: column l-1 = alpha level l, ns + l-1 =
+    # beta level l
+    src = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[None, :, None], (B, L, 2 * ns))
     metric = jnp.concatenate(
         [jnp.zeros((B, 1)), jnp.full((B, L - 1), BIG_METRIC)], axis=1
     ).astype(jnp.float32) if L > 1 else jnp.zeros((B, 1), jnp.float32)
 
+    nbit_mask = jnp.zeros(A, jnp.int32).at[off_n].set(1)  # level-n column
+
     def body(carry, phi):
-        alphas, betas, src_a, src_b, metric = carry
+        alphas, betas, da, db, src, metric = carry
         alphas, betas = list(alphas), list(betas)
-        src_a, src_b = list(src_a), list(src_b)
 
         # ---- 1) recompute alphas down the active path -------------------
-        # (level l is refreshed every 2^(n-l) leaves; parents were already
+        # (level l refreshes every 2^(n-l) leaves; parents were already
         # refreshed earlier in this loop when needed, so reads see this
         # step's values -- same schedule as the reference's lazy tree)
-        for l in range(1, n + 1):
+        for l in range(1, ld0):                       # shallow levels
             seg = N >> l
             need = (phi & ((1 << (n - l)) - 1)) == 0
             phi_l = phi >> (n - l)
 
             def recompute(l=l, seg=seg, phi_l=phi_l):
                 parent = (root if l == 1
-                          else _take_rows(alphas[l - 2], src_a[l - 2]))
+                          else _take_rows(alphas[l - 2], src[:, :, l - 2]))
                 left, right = parent[..., :seg], parent[..., seg:]
-                beta_left = _take_rows(betas[l - 1], src_b[l - 1])[:, :, 0, :]
+                beta_left = _take_rows(
+                    betas[l - 1], src[:, :, ns + l - 1])[:, :, 0, :]
                 g_val = lambda: _g_combine(left, right, beta_left)
                 f_val = lambda: jnp.broadcast_to(
                     _f_combine(left, right), (B, L, seg))
                 return jax.lax.cond((phi_l & 1) == 1, g_val, f_val), ident
 
-            alphas[l - 1], src_a[l - 1] = jax.lax.cond(
+            alphas[l - 1], new_col = jax.lax.cond(
                 need, recompute,
-                lambda a=alphas[l - 1], s=src_a[l - 1]: (a, s))
+                lambda a=alphas[l - 1], s=src[:, :, l - 1]: (a, s))
+            src = src.at[:, :, l - 1].set(new_col)
 
-        leaf = alphas[n - 1][..., 0]  # level n refreshes every step
+        for l in deep:                                 # dense deep levels
+            seg, off = segs[l], offs[l]
+            need = (phi & ((1 << (n - l)) - 1)) == 0
+            phi_l = phi >> (n - l)
+            old = da[:, :, off : off + seg]
+            if l == ld0:
+                # parent is the deepest SHALLOW level: gather via its map,
+                # but only on this level's (1 in 2^(n-ld0)) recompute steps
+                def reco(l=l, seg=seg, phi_l=phi_l, off=off):
+                    if ld0 == 1:
+                        parent = root
+                    else:
+                        parent = _take_rows(alphas[ld0 - 2],
+                                            src[:, :, ld0 - 2])
+                    left, right = parent[..., :seg], parent[..., seg:]
+                    beta_left = db[:, :, 0, off : off + seg]
+                    return jnp.where(
+                        (phi_l & 1) == 1,
+                        _g_combine(left, right, beta_left),
+                        jnp.broadcast_to(_f_combine(left, right),
+                                         (B, L, seg)))
+
+                new = jax.lax.cond(need, reco, lambda o=old: o)
+                da = da.at[:, :, off : off + seg].set(new)
+            else:
+                # parent is the deep level above: static slices, no gather
+                po, ps = offs[l - 1], segs[l - 1]
+                parent = da[:, :, po : po + ps]
+                left, right = parent[..., :seg], parent[..., seg:]
+                beta_left = db[:, :, 0, off : off + seg]
+                new = jnp.where((phi_l & 1) == 1,
+                                _g_combine(left, right, beta_left),
+                                _f_combine(left, right))
+                da = da.at[:, :, off : off + seg].set(
+                    jnp.where(need, new, old))
+
+        leaf = da[:, :, off_n]  # level n refreshes every step
         pen0, pen1 = _penalties(leaf)
         pen1 = jnp.where(frozen[phi], BIG_METRIC, pen1)
 
-        # ---- 2) fork: one top_k, index-map permutation only --------------
+        # ---- 2) fork: one top_k + ONE stacked gather ---------------------
         cand = jnp.stack([metric + pen0, metric + pen1], axis=-1)
         cand = cand.reshape(B, 2 * L)  # ordered (path0,b0),(path0,b1),...
         neg_vals, idx = jax.lax.top_k(-cand, L)
         parent = (idx >> 1).astype(jnp.int32)
         bits = (idx & 1).astype(jnp.int32)
         metric = -neg_vals
-        src_a = [jnp.take_along_axis(s, parent, axis=1) for s in src_a]
-        src_b = [jnp.take_along_axis(s, parent, axis=1) for s in src_b]
+        stacked = jnp.concatenate(
+            [src, db.reshape(B, L, 2 * A),
+             jax.lax.bitcast_convert_type(da, jnp.int32)], axis=-1)
+        stacked = jnp.take_along_axis(stacked, parent[..., None], axis=1)
+        src = stacked[..., : 2 * ns]
+        db = stacked[..., 2 * ns : 2 * ns + 2 * A].reshape(B, L, 2, A)
+        da = jax.lax.bitcast_convert_type(
+            stacked[..., 2 * ns + 2 * A :], jnp.float32)
 
-        # ---- 3) record the decision (level-n beta is (B, L, 2, 1)) -------
-        bn = _take_rows(betas[n - 1], src_b[n - 1])
-        betas[n - 1] = jax.lax.dynamic_update_slice(
-            bn, bits[:, :, None, None], (0, 0, phi & 1, 0))
-        src_b[n - 1] = ident
+        # ---- 3) record the decision (level-n slot of db) -----------------
+        db = jnp.where(
+            (slot_ax == (phi & 1))[None, None, :, None]
+            & (nbit_mask == 1)[None, None, None, :],
+            bits[:, :, None, None], db)
 
         # ---- 4) propagate partial sums up completed subtrees -------------
         for l in range(n, 1, -1):
@@ -303,25 +384,59 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
             prop = ((phi + 1) & (span - 1)) == 0
             slot = (phi >> (n - l + 1)) & 1
 
-            def combine(l=l, slot=slot):
-                child = _take_rows(betas[l - 1], src_b[l - 1])
-                left, right = child[:, :, 0, :], child[:, :, 1, :]
+            if l > ld0:
+                # deep child -> deep dest: static slices, no gathers
+                co, cs = offs[l], segs[l]
+                do_, ds = offs[l - 1], segs[l - 1]
+                left = db[:, :, 0, co : co + cs]
+                right = db[:, :, 1, co : co + cs]
                 seg = jnp.concatenate(
                     [jnp.bitwise_xor(left, right), right], axis=-1)
-                dest = _take_rows(betas[l - 2], src_b[l - 2])
-                return jax.lax.dynamic_update_slice(
-                    dest, seg[:, :, None, :], (0, 0, slot, 0)), ident
+                old = db[:, :, :, do_ : do_ + ds]
+                new = jnp.where((slot_ax == slot)[None, None, :, None],
+                                seg[:, :, None, :], old)
+                db = db.at[:, :, :, do_ : do_ + ds].set(
+                    jnp.where(prop, new, old))
+            elif l == ld0:
+                # deep child -> shallow dest (rare: every 2^(n-ld0+1) leaves)
+                co, cs = offs[l], segs[l]
 
-            betas[l - 2], src_b[l - 2] = jax.lax.cond(
-                prop, combine,
-                lambda b=betas[l - 2], s=src_b[l - 2]: (b, s))
+                def combine(co=co, cs=cs, slot=slot, l=l):
+                    left = db[:, :, 0, co : co + cs]
+                    right = db[:, :, 1, co : co + cs]
+                    seg = jnp.concatenate(
+                        [jnp.bitwise_xor(left, right), right], axis=-1)
+                    dest = _take_rows(betas[l - 2], src[:, :, ns + l - 2])
+                    return jnp.where(
+                        (slot_ax == slot)[None, None, :, None],
+                        seg[:, :, None, :], dest), ident
 
-        carry = (tuple(alphas), tuple(betas), tuple(src_a), tuple(src_b),
-                 metric)
+                betas[l - 2], new_col = jax.lax.cond(
+                    prop, combine,
+                    lambda b=betas[l - 2], s=src[:, :, ns + l - 2]: (b, s))
+                src = src.at[:, :, ns + l - 2].set(new_col)
+            else:
+                # shallow child -> shallow dest (rarer still)
+                def combine(l=l, slot=slot):
+                    child = _take_rows(betas[l - 1], src[:, :, ns + l - 1])
+                    left, right = child[:, :, 0, :], child[:, :, 1, :]
+                    seg = jnp.concatenate(
+                        [jnp.bitwise_xor(left, right), right], axis=-1)
+                    dest = _take_rows(betas[l - 2], src[:, :, ns + l - 2])
+                    return jnp.where(
+                        (slot_ax == slot)[None, None, :, None],
+                        seg[:, :, None, :], dest), ident
+
+                betas[l - 2], new_col = jax.lax.cond(
+                    prop, combine,
+                    lambda b=betas[l - 2], s=src[:, :, ns + l - 2]: (b, s))
+                src = src.at[:, :, ns + l - 2].set(new_col)
+
+        carry = (tuple(alphas), tuple(betas), da, db, src, metric)
         return carry, (parent, bits)
 
-    (alphas, betas, src_a, src_b, metric), (parents, bits) = jax.lax.scan(
-        body, (alphas, betas, src_a, src_b, metric),
+    (alphas, betas, da, db, src, metric), (parents, bits) = jax.lax.scan(
+        body, (alphas, betas, da, db, src, metric),
         jnp.arange(N, dtype=jnp.int32))
 
     # ---- traceback: reconstruct u for the L survivors --------------------
