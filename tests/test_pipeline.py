@@ -152,3 +152,49 @@ def test_batch_verify_past_pn_table_ceiling(key32):
     out = bv.run_device(clips, nv)
     assert not bv.finish_host(out).any()          # table pass alone misses
     assert bv.verify_batch(clips, nv).all()       # escalation resolves it
+
+
+def test_robust_batch_expected_nonce(key32, v2_batch):
+    """The serving anti-replay hook rejects frames from another session."""
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    clips, nv = v2_batch
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    ok = bv.verify_batch(clips[:1], nv[:1])
+    assert bool(ok[0])
+    # the silence-host clip (row 2) came from a different RobustEmbedder
+    # session; constraining to clip 0's nonce must reject it while still
+    # accepting clip 0 itself
+    out = bv.run_device(clips[:1], nv[:1])
+    _, nonces = bv.finish_host_detailed(out)
+    nonce0 = nonces[0]
+    assert nonce0 is not None
+    v = bv.verify_batch(clips[:3], nv[:3], expected_nonce=nonce0)
+    assert bool(v[0]) and bool(v[1]) and not bool(v[2])
+
+
+def test_scl_deep_seg_override_parity(key32, monkeypatch):
+    """ECHOSEAL_SCL_DEEP_SEG changes the compiled structure, not results."""
+    import jax.numpy as jnp
+
+    from echoseal_tpu.ops.polar import encode_np, polar_spec
+    from echoseal_tpu.ops import scl as scl_mod
+
+    spec = polar_spec()
+    rng = np.random.default_rng(5)
+    bits = np.stack([encode_np(rng.bytes(55), spec) for _ in range(4)])
+    y = (2.0 * bits - 1.0) + 0.3 * rng.standard_normal(bits.shape)
+    llr = jnp.asarray((2.0 * y / 0.09).astype(np.float32))
+
+    outs = []
+    for seg in ("1", "16"):
+        monkeypatch.setenv("ECHOSEAL_SCL_DEEP_SEG", seg)
+        scl_mod.scl_decode.clear_cache()
+        outs.append(scl_mod.scl_decode(llr, spec, 8))
+    monkeypatch.delenv("ECHOSEAL_SCL_DEEP_SEG")
+    scl_mod.scl_decode.clear_cache()
+    np.testing.assert_array_equal(np.asarray(outs[0]["crc_ok"]),
+                                  np.asarray(outs[1]["crc_ok"]))
+    np.testing.assert_allclose(
+        np.minimum(np.asarray(outs[0]["metrics"]), 1e29),
+        np.minimum(np.asarray(outs[1]["metrics"]), 1e29), rtol=0, atol=0)
