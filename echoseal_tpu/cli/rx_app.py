@@ -21,6 +21,9 @@ def parse_args(argv=None):
                    help="SCL list size (default 256)")
     p.add_argument("--batch", action="store_true",
                    help="use the batched pipeline (many files, one dispatch)")
+    p.add_argument("--monitor", action="store_true",
+                   help="scan a long recording in 4s/2s sliding windows, "
+                        "printing a verdict per window (streaming RX)")
     p.add_argument("--profile", choices=("compat", "v2"), default="compat",
                    help="waveform profile: reference-compatible (default) "
                         "or robust v2 (oversampled chips; survives codecs, "
@@ -37,6 +40,27 @@ def main(argv=None) -> int:
         raise SystemExit("no --audio given")
 
     from echoseal_tpu.io import wavio
+
+    if args.monitor:
+        from echoseal_tpu.models.detector import resample_to
+        from echoseal_tpu.models.monitor import StreamMonitor
+
+        rc = 1
+        for path in args.audio:
+            data, fs = wavio.read(path)
+            data = resample_to(48_000, data, fs)
+            mon = StreamMonitor(key, profile=args.profile,
+                                list_size=min(args.list_size, 32))
+            events = mon.feed(data) + mon.flush()
+            for ev in events:
+                r = ev.result
+                extra = (f" ctr={r.frame_ctr} stage={r.stage}"
+                         if r.authentic else "")
+                print(f"{path} [{ev.t_start:7.2f}s - {ev.t_end:7.2f}s] "
+                      f"{'authentic' if r.authentic else '---'}{extra}")
+                if r.authentic:
+                    rc = 0
+        return rc
 
     if args.batch and len(args.audio) > 1:
         import numpy as np
