@@ -87,8 +87,8 @@ class StreamMonitor:
         if self._buf.size < int(MIN_CLIP_SECONDS * self.fs):
             return []
         ev = self._verify_window(self._buf)
+        self._pos += self._buf.size
         self._buf = np.zeros(0, dtype=np.float32)
-        self._pos += ev.result.peak_pos or 0
         return [ev]
 
     @property
