@@ -45,21 +45,22 @@ def main(argv=None) -> int:
         from echoseal_tpu.models.detector import resample_to
         from echoseal_tpu.models.monitor import StreamMonitor
 
-        rc = 1
+        rc = 0
         for path in args.audio:
             data, fs = wavio.read(path)
             data = resample_to(48_000, data, fs)
             mon = StreamMonitor(key, profile=args.profile,
-                                list_size=min(args.list_size, 32))
+                                list_size=args.list_size)
             events = mon.feed(data) + mon.flush()
+            file_ok = False
             for ev in events:
                 r = ev.result
                 extra = (f" ctr={r.frame_ctr} stage={r.stage}"
                          if r.authentic else "")
                 print(f"{path} [{ev.t_start:7.2f}s - {ev.t_end:7.2f}s] "
                       f"{'authentic' if r.authentic else '---'}{extra}")
-                if r.authentic:
-                    rc = 0
+                file_ok |= r.authentic
+            rc |= 0 if file_ok else 1
         return rc
 
     if args.batch and len(args.audio) > 1:
@@ -96,7 +97,7 @@ def main(argv=None) -> int:
     if args.profile == "v2":
         from echoseal_tpu.models.robust import RobustVerifier
 
-        detector = RobustVerifier(key, list_size=min(args.list_size, 32))
+        detector = RobustVerifier(key, list_size=args.list_size)
     else:
         from echoseal_tpu.models.detector import WatermarkDetector
 

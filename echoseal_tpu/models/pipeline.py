@@ -109,26 +109,14 @@ def _batch_verify_stage(
     max_ctr = pn_table.shape[0]
     band_ids = jnp.arange(4, dtype=jnp.int32)[None, :, None]
 
-    # The 16-bit header identifies the counter ABSOLUTELY below 2**16 (and
-    # max_ctr <= 2**16 here), so a readable header resolves ctr = lo16 for
-    # a clip cut from anywhere in the stream -- unlike the reference's
-    # +-200-around-the-time-estimate search (detector.py:122-142), which
-    # silently fails on clips recorded later than ~5 s into a session.
-    lo16c = jnp.clip(lo16, 0, max_ctr - 1)
-    hdr_resolved = hdr_ok & (hop_table[lo16c] == band_ids) & (lo16 < max_ctr)
-
-    # fallback for unreadable headers: nearest band-matching counter around
-    # the time estimate (the reference's tight/wide ladder collapsed)
-    deltas = jnp.arange(-WIDE_DELTA, WIDE_DELTA + 1, dtype=jnp.int32)
-    cand = jnp.clip(ctr_est[..., None] + deltas, 0, max_ctr - 1)  # (B,4,P,D)
-    match_nohdr = hop_table[cand] == band_ids[..., None]
-    dist = jnp.abs(deltas)[None, None, None, :] + jnp.where(
-        match_nohdr, 0, 1 << 20)
-    j = jnp.argmin(dist, axis=-1)
-    ctr_fb = jnp.take_along_axis(cand, j[..., None], axis=-1)[..., 0]
-
-    ctr = jnp.where(hdr_resolved, lo16c, ctr_fb)
-    any_match = hdr_resolved | jnp.any(match_nohdr, axis=-1)
+    # The 16-bit header identifies the counter ABSOLUTELY below 2**16, so a
+    # readable header resolves ctr = lo16 for a clip cut from anywhere in
+    # the stream -- unlike the reference's +-200-around-the-time-estimate
+    # search (detector.py:122-142), which silently fails on clips recorded
+    # later than ~5 s in.  Counters past the table are handled by the
+    # host-side extended pass (lo16 + m*2**16, _extended_counter_pass).
+    ctr, any_match = _resolve_counters(
+        hdr_ok, lo16, ctr_est, hop_table, band_ids, max_ctr)
 
     # ---- PN gather, LLR, hard decode -------------------------------------
     pn_sy = 2.0 * pn_table[ctr].astype(jnp.float32) - 1.0   # (B,4,P,1024)
@@ -164,6 +152,14 @@ def _batch_verify_stage(
         # outputs are lazy, so exporting them costs nothing until a failed
         # clip actually needs the escalation download.
     )
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _llr_hard_stage(chips: jnp.ndarray, pn_sy: jnp.ndarray, spec: PolarSpec):
+    """(N, 1215) chips + (N, 1024) PN symbols -> hard-decision decode."""
+    llr = demod.payload_llr(chips, pn_sy)
+    info, crc_ok = hard_decode_batch(llr, spec)
+    return info, crc_ok
 
 
 def _key_tables(sec: SecureChannel, hop, max_ctr: int):
@@ -277,6 +273,8 @@ def _batch_verify_stage_v2(
         crc_ok=crc_ok, ctr=ctr,
         peak_idx=idx, peak_val=val,
         hdr_ok=hdr_ok, hdr_score=hdr_score,
+        hdr_lo16=lo16,             # (B, 4, NP, K) raw 16-bit header reads
+        chips=chips,               # (B, 4, NP, K, 1215) -- extended pass
     )
 
 
@@ -291,6 +289,7 @@ class BatchVerifier:
         self._hop = hop_schedule(key32)
         self.peaks = int(peaks)
 
+        self._spec = polar_spec()
         self._templates = jnp.asarray(demod.sync_templates(fs))
         md, _ = demod.all_demod_matrices(fs)
         self._m_direct = jnp.asarray(md[:, 0])     # exact-inversion profile
@@ -343,19 +342,25 @@ class BatchVerifier:
     def _extended_counter_pass(self, out, mask: np.ndarray,
                                expected_nonce: bytes | None,
                                max_stream_frames: int) -> np.ndarray:
-        """Header-gated ``lo16 + m*2**16`` fan-out beyond the PN table."""
-        from echoseal_tpu.models.detector import _cand_bucket, _llr_stage
+        """Header-gated ``lo16 + m*2**16`` fan-out beyond the PN table.
+
+        Profile-agnostic: candidate axes after (clip, band) -- offsets,
+        lam profiles, peaks -- are flattened, and the hard decode runs
+        under ``self._spec`` (compat or standard convention).
+        """
+        from echoseal_tpu.models.detector import _cand_bucket
 
         rescued = np.zeros(mask.shape[0], dtype=bool)
         max_ctr = self._pn_table.shape[0]
         n_mult = -(-max_stream_frames >> 16)
         if n_mult <= 0:
             return rescued
-        hdr_ok = np.asarray(out["hdr_ok"])
-        lo16 = np.asarray(out["hdr_lo16"])
-        rows: list[tuple[int, int, int, int]] = []   # (clip, band, peak, ctr)
+        B = mask.shape[0]
+        hdr_ok = np.asarray(out["hdr_ok"]).reshape(B, 4, -1)
+        lo16 = np.asarray(out["hdr_lo16"]).reshape(B, 4, -1)
+        rows: list[tuple[int, int, int, int]] = []   # (clip, band, cand, ctr)
         for i in np.flatnonzero(mask):
-            for b in range(hdr_ok.shape[1]):
+            for b in range(4):
                 for p in range(hdr_ok.shape[2]):
                     if not hdr_ok[i, b, p]:
                         continue
@@ -370,8 +375,13 @@ class BatchVerifier:
         if not rows:
             return rescued
 
-        chips_all = np.asarray(out["chips"])
-        chips = np.stack([chips_all[i, b, p] for i, b, p, _ in rows])
+        # gather the needed rows ON DEVICE, then download only those
+        # (~5 KB/row) -- not the whole (B, 4, cand, 1215) tensor
+        ii = np.asarray([r[0] for r in rows])
+        bb = np.asarray([r[1] for r in rows])
+        pp = np.asarray([r[2] for r in rows])
+        chips_dev = out["chips"].reshape(B, 4, -1, FRAME_LEN)
+        chips = np.asarray(chips_dev[ii, bb, pp]).astype(np.float32)
         ctrs = np.asarray([c for _, _, _, c in rows], dtype=np.int64)
         uniq, inv = np.unique(ctrs, return_inverse=True)
         pn = self.sec.pn_bits_batch(uniq, FRAME_LEN)[:, PRE_L + HDR_L :]
@@ -384,7 +394,8 @@ class BatchVerifier:
                 [chips, np.zeros((pad,) + chips.shape[1:], np.float32)])
             pn_sy = np.concatenate(
                 [pn_sy, np.ones((pad,) + pn_sy.shape[1:], np.float32)])
-        _, info, crc_ok = _llr_stage(jnp.asarray(chips), jnp.asarray(pn_sy))
+        info, crc_ok = _llr_hard_stage(jnp.asarray(chips),
+                                       jnp.asarray(pn_sy), self._spec)
         info = np.asarray(info)[:n]
         for r in np.flatnonzero(np.asarray(crc_ok)[:n]):
             i = rows[r][0]
@@ -507,15 +518,25 @@ class RobustBatchVerifier(BatchVerifier):
     def verify_batch(self, clips: np.ndarray,
                      n_valid: np.ndarray | None = None, *,
                      expected_nonce: bytes | None = None,
-                     use_scl: bool = True) -> np.ndarray:
+                     use_scl: bool = True,
+                     max_stream_frames: int = 1 << 20) -> np.ndarray:
+        out = self.run_device(clips, n_valid)
+        return self._finish_ladder(out, expected_nonce, use_scl,
+                                   max_stream_frames)
+
+    def _finish_ladder(self, out, expected_nonce, use_scl: bool,
+                       max_stream_frames: int) -> np.ndarray:
+        """Hard verdicts -> SCL fallback -> extended-counter escalation."""
         with Timer("pipeline.v2_batch"):
-            out = self.run_device(clips, n_valid)
             verdicts, _ = self.finish_host_detailed(
                 out, expected_nonce=expected_nonce)
         n_hard = int(verdicts.sum())
         if use_scl and not verdicts.all():
             with Timer("pipeline.v2_scl"):
                 verdicts |= self._scl_fallback(out, ~verdicts, expected_nonce)
+        if not verdicts.all():
+            verdicts |= self._extended_counter_pass(
+                out, ~verdicts, expected_nonce, max_stream_frames)
         _LOG.event("v2_batch", B=int(verdicts.size), hard=n_hard,
                    accepted=int(verdicts.sum()))
         return verdicts
@@ -547,10 +568,7 @@ class RobustBatchVerifier(BatchVerifier):
         n_valid = np.asarray(n_valid, dtype=np.int32)
 
         out = self.run_device(clips, n_valid)
-        verdicts, _ = self.finish_host_detailed(
-            out, expected_nonce=expected_nonce)
-        if not verdicts.all():
-            verdicts |= self._scl_fallback(out, ~verdicts, expected_nonce)
+        verdicts = self._finish_ladder(out, expected_nonce, True, 1 << 20)
         fail = np.flatnonzero(~verdicts)
         if fail.size == 0:
             return verdicts
@@ -606,9 +624,7 @@ class RobustBatchVerifier(BatchVerifier):
                 nv2.append(min(int(int(n_valid[i]) * self.fs / den), L))
         batch = np.stack(rows)
         out = self.run_device(batch, np.asarray(nv2, np.int32))
-        vr, _ = self.finish_host_detailed(out, expected_nonce=expected_nonce)
-        if not vr.all():
-            vr |= self._scl_fallback(out, ~vr, expected_nonce)
+        vr = self._finish_ladder(out, expected_nonce, True, 1 << 20)
         for r, i in enumerate(sel):
             verdicts[i] |= vr[r]
 
@@ -640,11 +656,11 @@ class RobustBatchVerifier(BatchVerifier):
         R = out["scl_llr"].shape[1]
         llr = np.asarray(out["scl_llr"])[clips_f].reshape(-1, 1024)
         ctrs = np.asarray(out["scl_ctr"])[clips_f].reshape(-1)
+        from echoseal_tpu.models.detector import _cand_bucket
+
         n_rows = llr.shape[0]
         # pad to a power-of-two bucket: one compile per bucket, not per count
-        bucket = 8
-        while bucket < n_rows:
-            bucket <<= 1
+        bucket = _cand_bucket(n_rows)
         if n_rows < bucket:
             llr = np.concatenate(
                 [llr, np.zeros((bucket - n_rows, llr.shape[1]), np.float32)])

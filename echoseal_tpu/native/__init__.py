@@ -20,18 +20,26 @@ import numpy as np
 
 _DIR = Path(__file__).parent
 _SRC = _DIR / "mixer.c"
-# The shared object is keyed on the SOURCE CONTENT hash (not mtimes, which
-# are arbitrary after a fresh clone), so editing mixer.c always rebuilds and
-# a binary built from different source is never picked up.
-_SO = _DIR / f"_mixer-{hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]}.so"
 _lock = threading.Lock()
 _lib = None
 
 
-def _build() -> None:
+def _so_path() -> Path:
+    # Keyed on the SOURCE CONTENT hash (not mtimes, which are arbitrary
+    # after a fresh clone), so editing mixer.c always rebuilds and a binary
+    # built from different source is never picked up.  Computed lazily:
+    # importing this module must not touch the filesystem (load() wraps all
+    # failures, keeping available() a clean False when mixer.c is absent).
+    return _DIR / f"_mixer-{hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]}.so"
+
+
+def _build(so: Path) -> None:
     subprocess.run(
-        ["cc", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO), "-lm"],
+        ["cc", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(so), "-lm"],
         check=True, capture_output=True)
+    for stale in _DIR.glob("_mixer-*.so"):     # drop superseded builds
+        if stale != so:
+            stale.unlink(missing_ok=True)
 
 
 def load() -> ctypes.CDLL:
@@ -40,14 +48,15 @@ def load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not _SO.exists():
-            _build()
+        so = _so_path()
+        if not so.exists():
+            _build(so)
         try:
-            lib = ctypes.CDLL(str(_SO))
+            lib = ctypes.CDLL(str(so))
         except OSError:
             # stale/foreign-arch binary: rebuild once and retry
-            _build()
-            lib = ctypes.CDLL(str(_SO))
+            _build(so)
+            lib = ctypes.CDLL(str(so))
         lib.mixer_new.restype = ctypes.c_void_p
         lib.mixer_new.argtypes = [ctypes.c_double, ctypes.c_double,
                                   ctypes.c_double, ctypes.c_size_t]

@@ -43,11 +43,20 @@ class NativeStreamEmbedder:
                                   floor_rel_dbfs=p.floor_rel_dbfs,
                                   headroom=MIX_HEADROOM)
         self._stop = threading.Event()
+        # serialises the SPSC ring's PRODUCER side between the feeder
+        # thread and the synchronous top-up in process()
+        self._produce = threading.Lock()
         self._feeder = threading.Thread(target=self._feed, daemon=True,
                                         name="echoseal-tx-feeder")
         self._feeder.start()
 
     # ------------------------------------------------------------------ API
+    @property
+    def p(self) -> TxParams:
+        """TX parameters (WatermarkEmbedder surface parity -- the CLI and
+        AudioLoop read ``embedder.p.fs``)."""
+        return self._tx.p
+
     @property
     def frame_ctr(self) -> int:
         return self._tx.frame_ctr
@@ -57,8 +66,22 @@ class NativeStreamEmbedder:
         return self._tx._session_nonce
 
     def process(self, samples: np.ndarray) -> np.ndarray:
-        """Audio-callback-safe mix: one C call, no Python allocation."""
-        out, _used = self._mixer.process(samples)
+        """Mix one block: one C call when the ring is stocked.
+
+        If the ring cannot cover the block (consumer faster than the
+        feeder -- e.g. the offline NullAudioLoop drains at memory speed),
+        frames are rendered SYNCHRONOUSLY here before mixing, so the
+        output is always fully watermarked.  The live audio callback
+        virtually never takes this branch (the feeder keeps LOW_WATER
+        ~4 frames ahead of the ~21 ms block cadence).
+        """
+        x = np.asarray(samples, dtype=np.float32).ravel()
+        if self._mixer.available_chips < x.size:
+            with self._produce:
+                while (self._mixer.available_chips < x.size
+                       and self._mixer.space >= FRAME_LEN):
+                    self._push_frame()
+        out, _used = self._mixer.process(x)
         return out
 
     def close(self) -> None:
@@ -72,13 +95,20 @@ class NativeStreamEmbedder:
         self.close()
 
     # ------------------------------------------------------------- feeder
+    def _push_frame(self) -> None:
+        """Render + enqueue one frame (callers hold ``_produce``)."""
+        chips = self._tx._make_frame_chips()
+        self._tx.frame_ctr = (self._tx.frame_ctr + 1) % (2**32)
+        self._mixer.push_chips(chips)
+
     def _feed(self) -> None:
         while not self._stop.is_set():
             if (self._mixer.available_chips < self.LOW_WATER
                     and self._mixer.space >= FRAME_LEN):
-                chips = self._tx._make_frame_chips()
-                self._tx.frame_ctr = (self._tx.frame_ctr + 1) % (2**32)
-                self._mixer.push_chips(chips)
+                with self._produce:
+                    if (self._mixer.available_chips < self.LOW_WATER
+                            and self._mixer.space >= FRAME_LEN):
+                        self._push_frame()
             else:
                 # ring full enough: sleep well under one frame period
                 time.sleep(0.002)

@@ -198,3 +198,28 @@ def test_scl_deep_seg_override_parity(key32, monkeypatch):
     np.testing.assert_allclose(
         np.minimum(np.asarray(outs[0]["metrics"]), 1e29),
         np.minimum(np.asarray(outs[1]["metrics"]), 1e29), rtol=0, atol=0)
+
+
+def test_robust_batch_past_pn_table_ceiling(key32):
+    """v2 serving resolves clips cut past the PN table, like compat.
+
+    (Round-2 review finding: the escalation existed only for compat; a v2
+    clip cut >~55 min into a session verified single-clip but was silently
+    rejected by the batch tier.)
+    """
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+    from echoseal_tpu.models.robust import RobustEmbedder
+
+    T = int(3.5 * FS)
+    Tpad = 1 << 18
+    tx = RobustEmbedder(key32)
+    tx.frame_ctr = 70_000                  # ~29.5 min of v2 stream, > 2**16
+    wm = tx.process(np.zeros(T, np.float32))
+    clips = np.zeros((1, Tpad), np.float32)
+    clips[0, :T] = wm
+    nv = np.full(1, T, np.int32)
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    out = bv.run_device(clips, nv)
+    v, _ = bv.finish_host_detailed(out)
+    assert not v.any()                     # table pass alone misses
+    assert bv.verify_batch(clips, nv).all()
