@@ -32,10 +32,18 @@ class RxGUI:
         self.file_var = tk.StringVar()
         ttk.Label(frm, textvariable=self.file_var).grid(row=1, column=1,
                                                         sticky="w")
+        self.profile_var = tk.StringVar(value="compat")
+        prof = ttk.Frame(frm)
+        prof.grid(row=2, column=1, sticky="w")
+        ttk.Radiobutton(prof, text="compat", value="compat",
+                        variable=self.profile_var).grid(row=0, column=0)
+        ttk.Radiobutton(prof, text="robust v2", value="v2",
+                        variable=self.profile_var).grid(row=0, column=1)
+        ttk.Label(frm, text="Profile:").grid(row=2, column=0, sticky="w")
         self.btn = ttk.Button(frm, text="Verify", command=self._verify)
-        self.btn.grid(row=2, column=0, pady=6, sticky="w")
+        self.btn.grid(row=3, column=0, pady=6, sticky="w")
         self.verdict = ttk.Label(frm, text="", font=("TkDefaultFont", 14))
-        self.verdict.grid(row=2, column=1, sticky="w")
+        self.verdict.grid(row=3, column=1, sticky="w")
 
     def _pick(self) -> None:
         path = self.filedialog.askopenfilename(
@@ -58,13 +66,21 @@ class RxGUI:
         self.btn.config(state="disabled")
         self.verdict.config(text="verifying...")
 
+        profile = self.profile_var.get()
+
         def work() -> None:
             try:
                 from echoseal_tpu.io import wavio
-                from echoseal_tpu.models.detector import WatermarkDetector
 
                 data, fs = wavio.read(path)
-                ok = WatermarkDetector(key).verify(data, fs)
+                if profile == "v2":
+                    from echoseal_tpu.models.robust import RobustVerifier
+
+                    ok = RobustVerifier(key).verify(data, fs)
+                else:
+                    from echoseal_tpu.models.detector import WatermarkDetector
+
+                    ok = WatermarkDetector(key).verify(data, fs)
                 text = "AUTHENTIC" if ok else "tampered / no watermark"
             except Exception as e:
                 text = f"error: {e}"
