@@ -52,3 +52,36 @@ def test_monitor_plain_noise_quiet(key32, rng):
     mon = StreamMonitor(key32, window_s=4.0, hop_s=2.0, list_size=8)
     events = mon.feed(noise)
     assert events and not any(ev.result.authentic for ev in events)
+
+
+def test_monitor_v2_profile(key32):
+    """Sliding-window monitoring works over the robust waveform too."""
+    from echoseal_tpu.models.robust import RobustEmbedder
+
+    tx = RobustEmbedder(key32)
+    wm = tx.process(np.zeros(8 * FS, dtype=np.float32))
+    mon = StreamMonitor(key32, profile="v2", window_s=4.0, hop_s=2.0)
+    events = mon.feed(wm) + mon.flush()
+    assert len(events) >= 2
+    assert all(ev.result.authentic for ev in events)
+
+
+def test_monitor_441k_capture_per_profile(key32):
+    """A 44.1 kHz capture cycle: graceful False for compat (any filtering
+    breaks the exact-inversion wire format -- documented envelope), while
+    the v2 profile verifies straight through it."""
+    from echoseal_tpu.models.detector import resample_to
+    from echoseal_tpu.models.robust import RobustEmbedder, RobustVerifier
+
+    tx = WatermarkEmbedder(key32)
+    host = np.zeros(6 * FS, dtype=np.float32)
+    wm = np.concatenate([tx.process(host[i : i + 1024])
+                         for i in range(0, host.size, 1024)])
+    back = resample_to(FS, resample_to(44_100, wm, FS), 44_100)
+    mon = StreamMonitor(key32, window_s=4.0, hop_s=2.0, list_size=32)
+    events = mon.feed(back) + mon.flush()
+    assert events and not any(ev.result.authentic for ev in events)
+
+    wm2 = RobustEmbedder(key32).process(np.zeros(6 * FS, dtype=np.float32))
+    down = resample_to(44_100, wm2, FS)
+    assert RobustVerifier(key32).verify(down, 44_100) is True
