@@ -36,17 +36,27 @@ def main(key: bytes = b"\xaa" * 32, seconds: float = 4.0) -> None:
         "dropout": lambda x: channels.dropout(x, 5.0, 0.5),
     }
 
+    from echoseal_tpu.models.robust import RobustEmbedder, RobustVerifier
+
     be = BatchEmbedder(key)
     report = {}
     for hname, host in hosts.items():
         wm = be.embed(host, session_nonce=b"capcheck")
+        tx2 = RobustEmbedder(key)
+        wm2 = tx2.process(host.copy())
         row = {}
         for iname, f in impairments.items():
             det = WatermarkDetector(key, list_size=16)
+            rv = RobustVerifier(key)
             try:
-                row[iname] = bool(det.verify(f(wm.copy()), fs))
+                compat = bool(det.verify(f(wm.copy()), fs))
             except Exception as e:  # pragma: no cover
-                row[iname] = f"ERROR: {e}"
+                compat = f"ERROR: {e}"
+            try:
+                v2 = bool(rv.verify(f(wm2.copy()), fs))
+            except Exception as e:  # pragma: no cover
+                v2 = f"ERROR: {e}"
+            row[iname] = {"compat": compat, "v2": v2}
         report[hname] = row
     print(json.dumps(report, indent=2))
 
