@@ -285,7 +285,6 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
         [jnp.zeros((B, 1)), jnp.full((B, L - 1), BIG_METRIC)], axis=1
     ).astype(jnp.float32) if L > 1 else jnp.zeros((B, 1), jnp.float32)
 
-    nbit_mask = jnp.zeros(A, jnp.int32).at[off_n].set(1)  # level-n column
 
     def body(carry, phi):
         alphas, betas, da, db, src, metric = carry
@@ -316,6 +315,11 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
                 lambda a=alphas[l - 1], s=src[:, :, l - 1]: (a, s))
             src = src.at[:, :, l - 1].set(new_col)
 
+        # Deep levels: pure dataflow through per-level seg values, then ONE
+        # concatenate -- slice-update ops carry the same fixed per-op cost
+        # as gathers on this backend, so da/db must each be rebuilt in a
+        # single op per step, not one .at per level.
+        da_segs: dict[int, jnp.ndarray] = {}
         for l in deep:                                 # dense deep levels
             seg, off = segs[l], offs[l]
             need = (phi & ((1 << (n - l)) - 1)) == 0
@@ -338,19 +342,17 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
                         jnp.broadcast_to(_f_combine(left, right),
                                          (B, L, seg)))
 
-                new = jax.lax.cond(need, reco, lambda o=old: o)
-                da = da.at[:, :, off : off + seg].set(new)
+                da_segs[l] = jax.lax.cond(need, reco, lambda o=old: o)
             else:
-                # parent is the deep level above: static slices, no gather
-                po, ps = offs[l - 1], segs[l - 1]
-                parent = da[:, :, po : po + ps]
+                # parent is the deep level above, freshly threaded
+                parent = da_segs[l - 1]
                 left, right = parent[..., :seg], parent[..., seg:]
                 beta_left = db[:, :, 0, off : off + seg]
                 new = jnp.where((phi_l & 1) == 1,
                                 _g_combine(left, right, beta_left),
                                 _f_combine(left, right))
-                da = da.at[:, :, off : off + seg].set(
-                    jnp.where(need, new, old))
+                da_segs[l] = jnp.where(need, new, old)
+        da = jnp.concatenate([da_segs[l] for l in deep], axis=-1)
 
         leaf = da[:, :, off_n]  # level n refreshes every step
         pen0, pen1 = _penalties(leaf)
@@ -372,38 +374,31 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
         da = jax.lax.bitcast_convert_type(
             stacked[..., 2 * ns + 2 * A :], jnp.float32)
 
-        # ---- 3) record the decision (level-n slot of db) -----------------
-        db = jnp.where(
-            (slot_ax == (phi & 1))[None, None, :, None]
-            & (nbit_mask == 1)[None, None, None, :],
-            bits[:, :, None, None], db)
-
-        # ---- 4) propagate partial sums up completed subtrees -------------
+        # ---- 3+4) record the decision, propagate completed subtrees ------
+        # (deep levels threaded as seg values, rebuilt with one concatenate)
+        db_segs = {l: db[:, :, :, offs[l] : offs[l] + segs[l]] for l in deep}
+        db_segs[n] = jnp.where((slot_ax == (phi & 1))[None, None, :, None],
+                               bits[:, :, None, None], db_segs[n])
         for l in range(n, 1, -1):
             span = 1 << (n - l + 1)
             prop = ((phi + 1) & (span - 1)) == 0
             slot = (phi >> (n - l + 1)) & 1
 
             if l > ld0:
-                # deep child -> deep dest: static slices, no gathers
-                co, cs = offs[l], segs[l]
-                do_, ds = offs[l - 1], segs[l - 1]
-                left = db[:, :, 0, co : co + cs]
-                right = db[:, :, 1, co : co + cs]
+                # deep child -> deep dest: threaded values, no gathers
+                child = db_segs[l]
+                left, right = child[:, :, 0, :], child[:, :, 1, :]
                 seg = jnp.concatenate(
                     [jnp.bitwise_xor(left, right), right], axis=-1)
-                old = db[:, :, :, do_ : do_ + ds]
+                old = db_segs[l - 1]
                 new = jnp.where((slot_ax == slot)[None, None, :, None],
                                 seg[:, :, None, :], old)
-                db = db.at[:, :, :, do_ : do_ + ds].set(
-                    jnp.where(prop, new, old))
+                db_segs[l - 1] = jnp.where(prop, new, old)
             elif l == ld0:
                 # deep child -> shallow dest (rare: every 2^(n-ld0+1) leaves)
-                co, cs = offs[l], segs[l]
-
-                def combine(co=co, cs=cs, slot=slot, l=l):
-                    left = db[:, :, 0, co : co + cs]
-                    right = db[:, :, 1, co : co + cs]
+                def combine(slot=slot, l=l):
+                    child = db_segs[l]
+                    left, right = child[:, :, 0, :], child[:, :, 1, :]
                     seg = jnp.concatenate(
                         [jnp.bitwise_xor(left, right), right], axis=-1)
                     dest = _take_rows(betas[l - 2], src[:, :, ns + l - 2])
@@ -431,6 +426,8 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
                     prop, combine,
                     lambda b=betas[l - 2], s=src[:, :, ns + l - 2]: (b, s))
                 src = src.at[:, :, ns + l - 2].set(new_col)
+
+        db = jnp.concatenate([db_segs[l] for l in deep], axis=-1)
 
         carry = (tuple(alphas), tuple(betas), da, db, src, metric)
         return carry, (parent, bits)
