@@ -465,6 +465,7 @@ class WatermarkDetector:
                                     np.float32)])
         llr_a, info_a, crc_ok_a = _llr_stage(jnp.asarray(chips_in),
                                              jnp.asarray(pn_alt_sy))
+        llr_a = np.asarray(llr_a)[:n_cand]
         info_a = np.asarray(info_a)[:n_cand]
         crc_ok_a = np.asarray(crc_ok_a)[:n_cand]
         for i in np.flatnonzero(np.asarray(crc_ok_a)):
@@ -475,6 +476,35 @@ class WatermarkDetector:
                                     peak_pos=int(starts[i]),
                                     session_nonce=acc, stage="hard-alt",
                                     tries=int(i) + 1)
+        # the reference runs the alternate convention through the FULL
+        # polar decoder including the sign flip (detector.py:186-190), not
+        # just the hard path -- one SCL batch over the best alt rows,
+        # decoding the RAW soft chips (refined chips anchor residual
+        # errors to +-amp, which a list decoder cannot overturn)
+        llr_a, _, _ = _llr_stage(jnp.asarray(chips_soft_in),
+                                 jnp.asarray(pn_alt_sy))
+        llr_a = np.asarray(llr_a)[:n_cand]
+        quality_a = np.mean(np.abs(llr_a), axis=-1)
+        sel_a = np.argsort(-quality_a, kind="stable")[: self.p.scl_batch]
+        for sign in (1.0, -1.0):
+            batch = sign * llr_a[sel_a]
+            if sel_a.size < self.p.scl_batch:
+                batch = np.concatenate(
+                    [batch, np.zeros((self.p.scl_batch - sel_a.size,
+                                      batch.shape[1]), np.float32)])
+            res = scl_decode(jnp.asarray(batch), self._spec, self._list_size)
+            ok = np.asarray(res["crc_ok"])
+            bits = np.asarray(res["info_bits"])
+            for rloc, r in enumerate(sel_a):
+                for li in np.flatnonzero(ok[rloc]):
+                    acc = self._accept(bits[rloc, li], int(ctrs[r]))
+                    if acc is not None:
+                        return VerifyResult(
+                            True, frame_ctr=int(ctrs[r]),
+                            band=BAND_PLAN[bands[r]],
+                            peak_pos=int(starts[r]),
+                            session_nonce=acc, stage="scl-alt",
+                            tries=rloc + 1)
         return VerifyResult(False, stage=None)
 
     # ----------------------------------------------------------- host crypto

@@ -128,3 +128,49 @@ def test_batch_embedder_stream_verifies(key32):
     wm = be.embed(host, session_nonce=b"unittest")
     det = WatermarkDetector(key32, list_size=32)
     assert det.verify(wm, FS) is True
+
+
+def test_alternate_pn_convention_stream(key32):
+    """The variant-1 rung accepts streams spread with the alternate PN.
+
+    The reference detector retries with the PN keystream RESTARTED at the
+    payload (detector.py:305-312, pn_variant=1); this pins our ladder's
+    equivalent rung end-to-end: a whole stream spread with that convention
+    verifies via stage 'hard-alt'/'scl-alt' (per-frame wire noise means
+    any single frame may fail either convention's FEC -- the stream-level
+    ladder is the contract, exactly as for the primary convention).
+    """
+    from scipy.signal import lfilter
+
+    from echoseal_tpu.core.bandplan import hop_schedule
+    from echoseal_tpu.core.crypto import SecureChannel
+    from echoseal_tpu.core.params import HDR_L, N_DEFAULT, TxParams
+    from echoseal_tpu.core.sequences import bits_to_bpsk, header_bits
+    from echoseal_tpu.ops import filters
+    from echoseal_tpu.ops.polar import encode_np, polar_spec
+
+    sec = SecureChannel(key32)
+    hop = hop_schedule(key32)
+    spec = polar_spec()
+    pre_sy = bits_to_bpsk(TxParams().preamble)
+    hdr_pn_sy = bits_to_bpsk(sec.pn_bits(0, HDR_L))
+    frames = []
+    for ctr in range(160):
+        payload = sec.seal(b"ESAL" + ctr.to_bytes(4, "big") + b"ALTPNPNA"
+                           + b"\x11" * 11)
+        data_sy = bits_to_bpsk(encode_np(payload, spec))
+        hdr_sy = bits_to_bpsk(header_bits(ctr)) * hdr_pn_sy
+        pn_alt = bits_to_bpsk(sec.pn_bits(ctr, N_DEFAULT))
+        lo, hi = hop.band(ctr)
+        b, a = filters.butter_coeffs(lo, hi, FS)
+        zi0 = np.zeros(max(len(a), len(b)) - 1, dtype=np.float64)
+        y_pre, zi1 = lfilter(b, a, pre_sy, zi=zi0)
+        y_rest, _ = lfilter(
+            b, a, np.concatenate((hdr_sy, data_sy * pn_alt)), zi=zi1)
+        frames.append(np.concatenate((y_pre, y_rest)).astype(np.float32))
+    stream = np.concatenate(frames) * 0.0178
+
+    det = WatermarkDetector(key32, list_size=32)
+    r = det.verify_detailed(stream, FS)
+    assert r.authentic
+    assert r.stage in ("hard-alt", "scl-alt")
