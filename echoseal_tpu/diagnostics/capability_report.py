@@ -44,10 +44,12 @@ def main(key: bytes = b"\xaa" * 32, seconds: float = 4.0) -> None:
         wm = be.embed(host, session_nonce=b"capcheck")
         tx2 = RobustEmbedder(key)
         wm2 = tx2.process(host.copy())
+        det = WatermarkDetector(key, list_size=16)
+        rv = RobustVerifier(key)
         row = {}
         for iname, f in impairments.items():
-            det = WatermarkDetector(key, list_size=16)
-            rv = RobustVerifier(key)
+            det.session_nonce = None
+            rv.session_nonce = None
             try:
                 compat = bool(det.verify(f(wm.copy()), fs))
             except Exception as e:  # pragma: no cover

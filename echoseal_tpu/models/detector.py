@@ -424,38 +424,42 @@ class WatermarkDetector:
 
         # rank candidates by LLR confidence; decode the ladder in batches:
         # +llr, then -llr, then the alternate PN convention (variant 1).
-        quality = np.mean(np.abs(llr), axis=-1)
-        order = np.argsort(-quality, kind="stable")
-        budget = min(self.p.scl_budget, MAX_TRIES, order.size)
-        sel = order[:budget]
+        def scl_pass(llr_src, stage):
+            quality = np.mean(np.abs(llr_src), axis=-1)
+            order = np.argsort(-quality, kind="stable")
+            sel = order[: min(self.p.scl_budget, MAX_TRIES, order.size)]
+            scl_batch = self.p.scl_batch
+            for retry in range(2):  # 0: +llr, 1: -llr
+                sign = 1.0 if retry == 0 else -1.0
+                for i0 in range(0, sel.size, scl_batch):
+                    rows = sel[i0 : i0 + scl_batch]
+                    batch = sign * llr_src[rows]
+                    if rows.size < scl_batch:  # fixed shape: 1 compile total
+                        batch = np.concatenate(
+                            [batch, np.zeros((scl_batch - rows.size,
+                                              batch.shape[1]), np.float32)])
+                    with Timer("rx.scl"):
+                        res = scl_decode(jnp.asarray(batch), self._spec,
+                                         self._list_size)
+                        ok = np.asarray(res["crc_ok"])
+                        bits = np.asarray(res["info_bits"])
+                    _LOG.event("scl", rows=int(rows.size), retry=retry,
+                               stage=stage, n_crc=int(ok.sum()))
+                    for rloc, r in enumerate(rows):
+                        for li in np.flatnonzero(ok[rloc]):
+                            acc = self._accept(bits[rloc, li], int(ctrs[r]))
+                            if acc is not None:
+                                return VerifyResult(
+                                    True, frame_ctr=int(ctrs[r]),
+                                    band=BAND_PLAN[bands[r]],
+                                    peak_pos=int(starts[r]),
+                                    session_nonce=acc, stage=stage,
+                                    tries=int(i0) + rloc + 1)
+            return None
 
-        scl_batch = self.p.scl_batch
-        for retry in range(2):  # 0: +llr, 1: -llr
-            sign = 1.0 if retry == 0 else -1.0
-            for i0 in range(0, sel.size, scl_batch):
-                rows = sel[i0 : i0 + scl_batch]
-                batch = sign * llr[rows]
-                if rows.size < scl_batch:   # fixed shape: one compile total
-                    batch = np.concatenate(
-                        [batch, np.zeros((scl_batch - rows.size,
-                                          batch.shape[1]), np.float32)])
-                with Timer("rx.scl"):
-                    res = scl_decode(jnp.asarray(batch), self._spec,
-                                     self._list_size)
-                    ok = np.asarray(res["crc_ok"])
-                    bits = np.asarray(res["info_bits"])
-                _LOG.event("scl", rows=int(rows.size), retry=retry,
-                           n_crc=int(ok.sum()))
-                for rloc, r in enumerate(rows):
-                    for li in np.flatnonzero(ok[rloc]):
-                        acc = self._accept(bits[rloc, li], int(ctrs[r]))
-                        if acc is not None:
-                            return VerifyResult(
-                                True, frame_ctr=int(ctrs[r]),
-                                band=BAND_PLAN[bands[r]],
-                                peak_pos=int(starts[r]),
-                                session_nonce=acc, stage="scl",
-                                tries=int(i0) + rloc + 1)
+        res_scl = scl_pass(llr, "scl")
+        if res_scl is not None:
+            return res_scl
         # variant 1: PN restarted at the payload (detector.py:305-312)
         pn_alt = self.sec.pn_bits_batch(uniq, N_DEFAULT)
         pn_alt_sy = 2.0 * pn_alt[inv].astype(np.float32) - 1.0
@@ -463,9 +467,8 @@ class WatermarkDetector:
             pn_alt_sy = np.concatenate(
                 [pn_alt_sy, np.ones((pad,) + pn_alt_sy.shape[1:],
                                     np.float32)])
-        llr_a, info_a, crc_ok_a = _llr_stage(jnp.asarray(chips_in),
-                                             jnp.asarray(pn_alt_sy))
-        llr_a = np.asarray(llr_a)[:n_cand]
+        _, info_a, crc_ok_a = _llr_stage(jnp.asarray(chips_in),
+                                         jnp.asarray(pn_alt_sy))
         info_a = np.asarray(info_a)[:n_cand]
         crc_ok_a = np.asarray(crc_ok_a)[:n_cand]
         for i in np.flatnonzero(np.asarray(crc_ok_a)):
@@ -478,33 +481,14 @@ class WatermarkDetector:
                                     tries=int(i) + 1)
         # the reference runs the alternate convention through the FULL
         # polar decoder including the sign flip (detector.py:186-190), not
-        # just the hard path -- one SCL batch over the best alt rows,
-        # decoding the RAW soft chips (refined chips anchor residual
-        # errors to +-amp, which a list decoder cannot overturn)
+        # just the hard path -- same SCL ladder over the alt LLRs, decoding
+        # the RAW soft chips (refined chips anchor residual errors to
+        # +-amp, which a list decoder cannot overturn)
         llr_a, _, _ = _llr_stage(jnp.asarray(chips_soft_in),
                                  jnp.asarray(pn_alt_sy))
-        llr_a = np.asarray(llr_a)[:n_cand]
-        quality_a = np.mean(np.abs(llr_a), axis=-1)
-        sel_a = np.argsort(-quality_a, kind="stable")[: self.p.scl_batch]
-        for sign in (1.0, -1.0):
-            batch = sign * llr_a[sel_a]
-            if sel_a.size < self.p.scl_batch:
-                batch = np.concatenate(
-                    [batch, np.zeros((self.p.scl_batch - sel_a.size,
-                                      batch.shape[1]), np.float32)])
-            res = scl_decode(jnp.asarray(batch), self._spec, self._list_size)
-            ok = np.asarray(res["crc_ok"])
-            bits = np.asarray(res["info_bits"])
-            for rloc, r in enumerate(sel_a):
-                for li in np.flatnonzero(ok[rloc]):
-                    acc = self._accept(bits[rloc, li], int(ctrs[r]))
-                    if acc is not None:
-                        return VerifyResult(
-                            True, frame_ctr=int(ctrs[r]),
-                            band=BAND_PLAN[bands[r]],
-                            peak_pos=int(starts[r]),
-                            session_nonce=acc, stage="scl-alt",
-                            tries=rloc + 1)
+        res_alt = scl_pass(np.asarray(llr_a)[:n_cand], "scl-alt")
+        if res_alt is not None:
+            return res_alt
         return VerifyResult(False, stage=None)
 
     # ----------------------------------------------------------- host crypto
