@@ -2,32 +2,64 @@
 
 Measures the BASELINE.json north-star metric -- audio-seconds verified per
 wall-second per chip on 3 s 48 kHz clips -- on the batched verify pipeline
-(echoseal_tpu/models/pipeline.py).  Clips are genuine watermarked streams
-(batched device TX, silence host, the reference's only decodable regime);
-the timing covers the full pipeline: device dispatch (sync, demod, refine,
-header, despread, polar+CRC) plus host AEAD verdicts.
+(echoseal_tpu/models/pipeline.py), plus two driver-visible sub-metrics:
+the v2 (robust-profile) serving real-time factor and the SCL-256 list
+decoder throughput (the shipped default list size).
+
+Clips are genuine watermarked streams (batched device TX, silence host for
+the compat profile / loud tone host for v2); the timing covers the full
+pipeline: device dispatch (sync, demod, refine, header, despread,
+polar+CRC) plus host AEAD verdicts.
 
 ``vs_baseline`` is value / 1000: the fraction of the driver-supplied
 1000x-real-time target.  (The reference NumPy implementation needs >560 s
 for a single 3 s clip in this environment -- real-time factor < 0.006 --
 so a reference-relative ratio would be vacuous.)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Resilience (VERDICT r2 item 1): clip staging is ONE chunked device TX kept
+on-device plus an on-device gather -- no per-clip host round-trips over the
+thin tunnel -- and every dispatch/download runs under a bounded retry for
+transient backend faults.  Sub-metrics fail independently: a dead metric
+lands in ``extras.errors`` and the JSON line still prints (rc=0 when at
+least one metric survived).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
+
+RETRIES = 4
+_TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE", "INTERNAL",
+              "RESOURCE_EXHAUSTED", "ABORTED", "connection", "Connection")
+
+
+def _retry(fn, what: str):
+    """Run ``fn`` with bounded retries on transient backend faults."""
+    for attempt in range(RETRIES):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 -- classified below
+            transient = any(t in str(e) or t in type(e).__name__
+                            for t in _TRANSIENT)
+            if attempt == RETRIES - 1 or not transient:
+                raise
+            print(f"# bench: transient fault in {what} "
+                  f"(attempt {attempt + 1}/{RETRIES}): {e}",
+                  file=sys.stderr)
+            time.sleep(2.0 * (attempt + 1))
 
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from echoseal_tpu.core.params import FRAME_LEN
-    from echoseal_tpu.models.embedder import BatchEmbedder
-    from echoseal_tpu.models.pipeline import BatchVerifier
 
     key = bytes.fromhex("aa" * 32)
     fs = 48_000
@@ -35,73 +67,154 @@ def main() -> None:
     T = int(clip_s * fs)
     Tpad = 1 << 18
     B = 256
-
-    # ---- build B watermarked 3 s clips (batched device TX) --------------
-    be = BatchEmbedder(key)
-    n_frames = -(-T // FRAME_LEN)
     rng = np.random.default_rng(0)
-    clips = np.zeros((B, Tpad), dtype=np.float32)
-    scale = 10.0 ** (be.p.floor_rel_dbfs / 20.0)
-    for i in range(B):
-        start_ctr = int(rng.integers(0, 4000))
-        frames = be.frames(np.arange(start_ctr, start_ctr + n_frames),
-                           session_nonce=bytes(8))
-        clips[i, :T] = frames.reshape(-1)[:T] * scale
-    n_valid = np.full(B, T, dtype=np.int32)
 
-    bv = BatchVerifier(key)
+    extras: dict = {"platform": jax.default_backend()}
+    errors: dict = {}
+    n_frames = -(-T // FRAME_LEN)
 
-    # Clips are staged on device outside the timed region: the metric is
-    # chip verification throughput, and this image's tunneled host<->device
-    # link (~8 MB/s) is an artifact of the test harness, not the hardware.
-    clips_dev = jax.device_put(jax.numpy.asarray(clips))
-    nv_dev = jax.device_put(jax.numpy.asarray(n_valid))
+    def slice_clips(stream: jnp.ndarray, starts: np.ndarray,
+                    scale: float) -> jnp.ndarray:
+        """(B, Tpad) float32 clips gathered on device from one long stream."""
 
-    def run():
-        out = bv.run_device(clips_dev, nv_dev)
-        # host AEAD verdict on the (tiny) device outputs is IN the timing
-        return bv.finish_host(out)
+        @jax.jit
+        def stage(stream, starts):
+            idx = starts[:, None] + jnp.arange(T)
+            clips = jnp.take(stream, idx) * scale
+            return jnp.pad(clips, ((0, 0), (0, Tpad - T)))
 
-    # ---- warm up (compile) ----------------------------------------------
-    accept = float(np.mean(run()))
+        return stage(stream, jnp.asarray(starts.astype(np.int32)))
 
-    # ---- timed runs -------------------------------------------------------
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        best = min(best, time.perf_counter() - t0)
+    # ================= metric 1: compat headline RTF =====================
+    compat_rtf = compat_accept = None
+    try:
+        from echoseal_tpu.models.embedder import BatchEmbedder
+        from echoseal_tpu.models.pipeline import BatchVerifier
 
-    rtf = B * clip_s / best
+        TOTAL_CTRS, CHUNK = 4096, 1024
 
-    # ---- SCL-256 throughput (the shipped default list size) -------------
-    # VERDICT r1 item 2b: a measured decodes/sec/chip number at L=256.
-    from echoseal_tpu.ops.polar import encode_np, polar_spec
-    from echoseal_tpu.ops.scl import scl_decode
+        def stage_compat():
+            be = BatchEmbedder(key)
+            chunks = [
+                be.frames_device(np.arange(c0, c0 + CHUNK),
+                                 session_nonce=bytes(8))
+                for c0 in range(0, TOTAL_CTRS, CHUNK)
+            ]
+            stream = jnp.concatenate(chunks).reshape(-1)
+            start_ctr = rng.integers(0, TOTAL_CTRS - n_frames, size=B)
+            scale = 10.0 ** (be.p.floor_rel_dbfs / 20.0)
+            return slice_clips(stream, start_ctr * FRAME_LEN, scale)
 
-    spec = polar_spec()
-    n_dec = 128
-    bits = np.stack([encode_np(rng.bytes(55), spec) for _ in range(n_dec)])
-    y = (2.0 * bits - 1.0) + 0.3 * rng.standard_normal(bits.shape)
-    llr = jax.device_put(jax.numpy.asarray(
-        (2.0 * y / 0.09).astype(np.float32)))
-    scl_decode(llr, spec, 256)["crc_ok"].block_until_ready()  # compile
-    t_scl = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        scl_decode(llr, spec, 256)["crc_ok"].block_until_ready()
-        t_scl = min(t_scl, time.perf_counter() - t0)
+        clips_dev = _retry(stage_compat, "compat clip staging")
+        nv_dev = jnp.full(B, T, dtype=jnp.int32)
+        bv = BatchVerifier(key)
 
-    result = {
-        "metric": "RX verify real-time factor (3s 48kHz clips, "
-                  f"batch {B}, accept_rate {accept:.2f})",
-        "value": round(rtf, 1),
-        "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(rtf / 1000.0, 3),
-        "extras": {"scl256_decodes_per_sec": round(n_dec / t_scl, 1),
-                   "scl256_batch": n_dec},
-    }
-    print(json.dumps(result))
+        def run():
+            out = bv.run_device(clips_dev, nv_dev)
+            # host AEAD verdict on the (tiny) device outputs is IN the timing
+            return bv.finish_host(out)
+
+        compat_accept = float(np.mean(_retry(run, "compat warmup")))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _retry(run, "compat timed run")
+            best = min(best, time.perf_counter() - t0)
+        compat_rtf = B * clip_s / best
+        extras["compat_accept"] = round(compat_accept, 3)
+    except Exception:  # noqa: BLE001 -- report, keep going
+        errors["compat"] = traceback.format_exc(limit=2)
+
+    # ================= metric 2: v2 (robust) serving RTF =================
+    try:
+        from echoseal_tpu.models.pipeline import RobustBatchVerifier
+        from echoseal_tpu.models.robust import RobustEmbedder
+
+        def stage_v2():
+            remb = RobustEmbedder(key)
+            host = (0.15 * np.sin(
+                2 * np.pi * 700 * np.arange(int(12 * fs)) / fs)
+            ).astype(np.float32)
+            stream = remb.process(host)           # host TX (~60 frames)
+            starts = rng.integers(0, stream.size - T, size=B)
+            return slice_clips(jnp.asarray(stream), starts, 1.0)
+
+        v2_clips = _retry(stage_v2, "v2 clip staging")
+        nv = np.full(B, T, dtype=np.int32)
+        bv2 = RobustBatchVerifier(key)
+
+        def run_v2():
+            # the real serving call: hard pass + SCL fallback + extended ctrs
+            return bv2.verify_batch(v2_clips, nv)
+
+        v2_accept = float(np.mean(_retry(run_v2, "v2 warmup")))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _retry(run_v2, "v2 timed run")
+            best = min(best, time.perf_counter() - t0)
+        extras["v2_rtf_audio_sec_per_sec"] = round(B * clip_s / best, 1)
+        extras["v2_accept"] = round(v2_accept, 3)
+        extras["v2_batch"] = B
+    except Exception:  # noqa: BLE001
+        errors["v2"] = traceback.format_exc(limit=2)
+
+    # ================= metric 3: SCL-256 decoder throughput ==============
+    try:
+        from echoseal_tpu.ops.polar import encode_np, polar_spec
+        from echoseal_tpu.ops.scl import scl_decode
+
+        spec = polar_spec()
+        n_dec = 128
+        bits = np.stack([encode_np(rng.bytes(55), spec)
+                         for _ in range(n_dec)])
+        y = (2.0 * bits - 1.0) + 0.3 * rng.standard_normal(bits.shape)
+        llr = jnp.asarray((2.0 * y / 0.09).astype(np.float32))
+
+        def run_scl():
+            # materialize a host value: block_until_ready is not a reliable
+            # barrier on this backend (tunneled); the download is ~32 KB
+            return np.asarray(scl_decode(llr, spec, 256)["crc_ok"])
+
+        _retry(run_scl, "scl warmup")
+        t_scl = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _retry(run_scl, "scl timed run")
+            t_scl = min(t_scl, time.perf_counter() - t0)
+        extras["scl256_decodes_per_sec"] = round(n_dec / t_scl, 1)
+        extras["scl256_batch"] = n_dec
+    except Exception:  # noqa: BLE001
+        errors["scl256"] = traceback.format_exc(limit=2)
+
+    # ================= assemble the one-line report ======================
+    if errors:
+        extras["errors"] = {k: v.strip().splitlines()[-1]
+                            for k, v in errors.items()}
+        print(json.dumps({"bench_errors": errors}), file=sys.stderr)
+
+    if compat_rtf is not None:
+        metric = (f"RX verify real-time factor (3s 48kHz clips, batch {B}, "
+                  f"accept_rate {compat_accept:.2f})")
+        value = round(compat_rtf, 1)
+    elif "v2_rtf_audio_sec_per_sec" in extras:
+        metric = (f"v2 RX verify real-time factor (3s 48kHz clips, batch "
+                  f"{B}; compat headline failed -- see extras.errors)")
+        value = extras["v2_rtf_audio_sec_per_sec"]
+    elif "scl256_decodes_per_sec" in extras:
+        metric = ("SCL-256 decodes/sec (headline pipelines failed -- see "
+                  "extras.errors)")
+        value = extras["scl256_decodes_per_sec"]
+    else:
+        print(json.dumps({"metric": "bench failed", "value": None,
+                          "unit": "audio-sec/sec/chip", "vs_baseline": None,
+                          "extras": extras}))
+        sys.exit(1)
+
+    print(json.dumps({"metric": metric, "value": value,
+                      "unit": "audio-sec/sec/chip",
+                      "vs_baseline": round(value / 1000.0, 3),
+                      "extras": extras}))
 
 
 if __name__ == "__main__":

@@ -55,10 +55,9 @@ def main() -> None:
 
         jax.config.update("jax_platforms", args.platform)
         if args.platform == "cpu":
-            jax.config.update("jax_compilation_cache_dir",
-                              "/tmp/echoseal_jax_cache")
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0)
+            from echoseal_tpu.utils.cache import enable_persistent_cache
+
+            enable_persistent_cache()
 
     from echoseal_tpu.core.params import FRAME_LEN
     from echoseal_tpu.models.embedder import BatchEmbedder

@@ -38,6 +38,9 @@ def main(argv=None) -> int:
         raise SystemExit("key must be 256-bit (64 hex chars)")
     if not args.audio:
         raise SystemExit("no --audio given")
+    if args.monitor and args.batch:
+        raise SystemExit("--monitor and --batch are mutually exclusive "
+                         "(the monitor already batches its windows)")
 
     from echoseal_tpu.io import wavio
 
@@ -83,7 +86,8 @@ def main(argv=None) -> int:
         if args.profile == "v2":
             from echoseal_tpu.models.pipeline import RobustBatchVerifier
 
-            verdicts = RobustBatchVerifier(key).verify_batch_recover(
+            verdicts = RobustBatchVerifier(
+                key, list_size=args.list_size).verify_batch_recover(
                 batch, np.asarray(lens, dtype=np.int32))
         else:
             verdicts = BatchVerifier(key).verify_batch(

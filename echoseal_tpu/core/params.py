@@ -87,6 +87,14 @@ class RxParams:
     wide_delta: int = WIDE_DELTA
     max_tries: int = MAX_TRIES
     peak_limit: int = PEAK_LIMIT
+    # Reference parity knob: the reference detector accepts an UNSEALED
+    # payload whose first 4 bytes spell the magic (rtwm/detector.py:206-212
+    # "legacy plaintext").  That path bypasses AEAD entirely, so it is a
+    # config decision, not a hardcoded behavior: default True here (parity
+    # for the single-clip detector), default False in the serving pipeline
+    # (models/pipeline.py), where the SCL/extended-counter fan-out routes
+    # far more decoder candidates through acceptance.
+    accept_legacy_plaintext: bool = True
     # TPU additions (not in the reference):
     scl_budget: int = 64     # max candidates sent through the SCL ladder
     scl_batch: int = 32      # SCL dispatch batch size

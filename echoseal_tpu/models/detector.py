@@ -46,14 +46,11 @@ from echoseal_tpu.core.params import (
     FRAME_LEN,
     HDR_L,
     MAGIC,
-    MAX_TRIES,
     MIN_PEAK_FALLBACK,
     N_DEFAULT,
     PEAK_LIMIT,
     PRE_L,
     RxParams,
-    TIGHT_DELTA,
-    WIDE_DELTA,
 )
 from echoseal_tpu.core.sequences import bits_to_bpsk, mls63
 from echoseal_tpu.ops import demod, filters
@@ -274,7 +271,7 @@ class WatermarkDetector:
             out = _scan_stage(
                 jnp.asarray(x), jnp.int32(T), self._templates, self._fir_bank,
                 self._m_direct, self._m_cascade, self._t_fwd, self._pre_sy,
-                self._hdr_pn_sy,
+                self._hdr_pn_sy, peak_limit=self.p.peak_limit,
             )
             out = {k: np.asarray(v) for k, v in out.items()}
         _LOG.event("scan", T=T, n_peaks=int(out["peak_valid"].sum()),
@@ -285,11 +282,17 @@ class WatermarkDetector:
         band_order = [hop0] + [b for b in range(4) if b != hop0]
         K = out["peak_idx"].shape[1]
 
-        cand_rows = []   # (band, (prof, flat_idx), ctr, source, priority, start)
+        # candidate rows grouped per (band, peak): the budget truncation
+        # below is round-robin across groups, so a spurious header read on
+        # an earlier-priority band cannot evict every candidate of later
+        # bands (the lo16 + m*2**16 fan-out makes single groups large)
+        groups: list[list[tuple]] = []
         for pr, b in enumerate(band_order):
             for k in range(K):
                 if not out["peak_valid"][b, k]:
                     continue
+                rows: list[tuple] = []
+                groups.append(rows)
                 start = int(out["peak_idx"][b, k])
                 # best (profile, offset) by preamble score, per model variant
                 base = k * N_OFFSETS
@@ -311,8 +314,8 @@ class WatermarkDetector:
                     lo16 = int(out["hdr_lo16_c"][b, idx_c[0], idx_c[1]])
 
                 ctrs: list[int] = []
-                lo = max(0, ctr_est - WIDE_DELTA)
-                hi = ctr_est + WIDE_DELTA + 1
+                lo = max(0, ctr_est - self.p.wide_delta)
+                hi = ctr_est + self.p.wide_delta + 1
                 if hdr_ok:
                     ctrs = [c for c in range(lo, hi)
                             if (c & 0xFFFF) == lo16 and self._hop.index(c) == b]
@@ -326,18 +329,34 @@ class WatermarkDetector:
                                          for m in range(max(n_mult, 1)))
                              if c not in ctrs and self._hop.index(c) == b]
                 if not ctrs:
-                    ctrs = [c for c in range(max(0, ctr_est - TIGHT_DELTA),
-                                             ctr_est + TIGHT_DELTA + 1)
+                    ctrs = [c for c in range(max(0, ctr_est - self.p.tight_delta),
+                                             ctr_est + self.p.tight_delta + 1)
                             if self._hop.index(c) == b]
                 if not ctrs:
                     ctrs = [c for c in range(lo, hi) if self._hop.index(c) == b]
                 for c in ctrs:
-                    cand_rows.append((b, idx_d, c, 0, pr, start))
-                    cand_rows.append((b, idx_c, c, 1, pr, start))
+                    rows.append((b, idx_d, c, 0, pr, start))
+                    rows.append((b, idx_c, c, 1, pr, start))
 
-        if not cand_rows:
+        groups = [g for g in groups if g]
+        if not groups:
             return VerifyResult(False, stage=None)
-        cand_rows = cand_rows[: 2 * MAX_TRIES]
+        # round-robin budget: one (direct, cascade) candidate pair per group
+        # per cycle, groups kept in band-priority order
+        budget = 2 * self.p.max_tries
+        cand_rows: list[tuple] = []
+        depth = 0
+        while len(cand_rows) < budget:
+            took = False
+            for g in groups:
+                chunk = g[2 * depth : 2 * depth + 2]
+                if chunk:
+                    took = True
+                    cand_rows.extend(chunk)
+            if not took:
+                break
+            depth += 1
+        cand_rows = cand_rows[:budget]
 
         bands = np.array([r[0] for r in cand_rows])
         profs = np.array([r[1][0] for r in cand_rows])
@@ -427,7 +446,7 @@ class WatermarkDetector:
         def scl_pass(llr_src, stage):
             quality = np.mean(np.abs(llr_src), axis=-1)
             order = np.argsort(-quality, kind="stable")
-            sel = order[: min(self.p.scl_budget, MAX_TRIES, order.size)]
+            sel = order[: min(self.p.scl_budget, self.p.max_tries, order.size)]
             scl_batch = self.p.scl_batch
             for retry in range(2):  # 0: +llr, 1: -llr
                 sign = 1.0 if retry == 0 else -1.0
@@ -496,8 +515,9 @@ class WatermarkDetector:
         """AEAD-open + magic/ctr/nonce ladder.  Returns nonce on success."""
         blob = pack_info_bits(info_bits)
         plain, _layout = self.sec.open_any_layout(blob)
-        if plain is None:
-            # legacy plaintext acceptance (detector.py:206-212)
+        if plain is None and self.p.accept_legacy_plaintext:
+            # legacy plaintext acceptance (detector.py:206-212); gated by
+            # RxParams -- it bypasses AEAD on a magic+ctr match alone
             plain = blob if blob[:4] == MAGIC else None
         if plain is None or not plain.startswith(MAGIC):
             return None

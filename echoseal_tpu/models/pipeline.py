@@ -283,11 +283,13 @@ class BatchVerifier:
 
     def __init__(self, key32: bytes, *, fs: int = 48_000,
                  max_ctr: int = DEFAULT_MAX_CTR,
-                 peaks: int = DEFAULT_PEAKS) -> None:
+                 peaks: int = DEFAULT_PEAKS,
+                 accept_legacy_plaintext: bool = False) -> None:
         self.fs = fs
         self.sec = SecureChannel(key32)
         self._hop = hop_schedule(key32)
         self.peaks = int(peaks)
+        self.accept_legacy_plaintext = bool(accept_legacy_plaintext)
 
         self._spec = polar_spec()
         self._templates = jnp.asarray(demod.sync_templates(fs))
@@ -440,9 +442,17 @@ class BatchVerifier:
 
     def _accept_blob(self, blob: bytes, ctr: int,
                      expected_nonce: bytes | None) -> bytes | None:
-        """AEAD open + magic/ctr (+optional nonce) ladder for one payload."""
+        """AEAD open + magic/ctr (+optional nonce) ladder for one payload.
+
+        The reference's "legacy plaintext" acceptance (an unsealed payload
+        passing on magic+ctr alone, rtwm/detector.py:206-212) bypasses AEAD,
+        and the serving tier routes many decoder candidates through here
+        (SCL fallback, extended counters) -- so it is OFF unless the caller
+        opted in at construction (``accept_legacy_plaintext=True``).
+        """
         plain, _ = self.sec.open_any_layout(blob)
-        if plain is None and blob[:4] == MAGIC:
+        if plain is None and self.accept_legacy_plaintext and \
+                blob[:4] == MAGIC:
             plain = blob
         if plain is None or not plain.startswith(MAGIC):
             return None
@@ -472,7 +482,8 @@ class RobustBatchVerifier(BatchVerifier):
 
     def __init__(self, key32: bytes, *, fs: int = 48_000,
                  max_ctr: int = DEFAULT_MAX_CTR, peaks: int = 4,
-                 list_size: int = 32, profile=None) -> None:
+                 list_size: int = 32, profile=None,
+                 accept_legacy_plaintext: bool = False) -> None:
         from echoseal_tpu.core.profiles import ROBUST, profile_spec
         from echoseal_tpu.models.robust import (
             LAM_PROFILES,
@@ -484,6 +495,7 @@ class RobustBatchVerifier(BatchVerifier):
         self.sec = SecureChannel(key32)
         self._hop = hop_schedule(key32)
         self.peaks = int(peaks)
+        self.accept_legacy_plaintext = bool(accept_legacy_plaintext)
         self.profile = ROBUST if profile is None else profile
         self.span = self.profile.span
         self._spec = profile_spec(self.profile)

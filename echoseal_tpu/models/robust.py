@@ -265,9 +265,23 @@ class RobustVerifier:
     """Single-clip v2 verifier (same verify surface as WatermarkDetector)."""
 
     def __init__(self, key32: bytes, *, fs_target: int = 48_000,
-                 list_size: int = 32,
+                 list_size: int | None = None,
                  profile: WaveformProfile = ROBUST,
-                 timescale_grid: tuple[float, ...] = (1.0,)) -> None:
+                 timescale_grid: tuple[float, ...] | None = None,
+                 params=None) -> None:
+        # RxParams may supply list_size / timescale_grid defaults (explicit
+        # kwargs win); the compat detector reads the same container, so one
+        # config object drives both tiers
+        if params is not None:
+            if list_size is None:
+                list_size = params.list_size
+            if timescale_grid is None and params.timescale_grid:
+                timescale_grid = params.timescale_grid
+            fs_target = params.fs_target
+        if list_size is None:
+            list_size = 32
+        if timescale_grid is None:
+            timescale_grid = (1.0,)
         self.profile = profile
         self.fs_target = fs_target
         self.sec = SecureChannel(key32)

@@ -129,7 +129,8 @@ if __name__ == "__main__":
     # this image's axon sitecustomize registers a TPU backend plugin at
     # interpreter start; pin the CPU platform BEFORE first backend use
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/echoseal_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from echoseal_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     run(n)

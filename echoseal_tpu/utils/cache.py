@@ -1,0 +1,48 @@
+"""Host-keyed persistent JAX compilation cache location.
+
+XLA:CPU AOT artifacts encode the *compile-time* host's CPU feature set;
+loading them on a machine with different features is at best a warning and
+at worst silent numeric drift or SIGILL (observed: a cross-machine cache
+flipped a rounding-adjacent pipeline verdict -- VERDICT r2 weak #2).  Keying
+the cache directory by a hash of the host's CPU flags (plus the JAX
+version, which also invalidates AOT artifacts) makes every machine get its
+own cache while keeping the big win -- the one-time SCL scan compile --
+local to repeated runs on the same box.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def persistent_cache_dir(base: str = "/tmp/echoseal_jax_cache") -> str:
+    """``base`` suffixed with a host-CPU-feature + JAX-version hash."""
+    feat = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat = line
+                    break
+    except OSError:
+        feat = os.uname().machine
+    try:
+        import jax
+
+        feat += jax.__version__
+    except Exception:  # pragma: no cover -- jax always importable here
+        pass
+    tag = hashlib.sha1(feat.encode()).hexdigest()[:10]
+    return f"{base}_{tag}"
+
+
+def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
+    """Point JAX's compilation cache at the host-keyed directory."""
+    import jax
+
+    path = persistent_cache_dir()
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+    )
+    return path

@@ -21,8 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/echoseal_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# host-CPU-keyed cache dir: XLA:CPU AOT artifacts are machine-specific, and
+# loading a foreign machine's artifacts has flipped rounding-adjacent test
+# verdicts (VERDICT r2 weak #2)
+from echoseal_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

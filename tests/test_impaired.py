@@ -42,7 +42,11 @@ def test_excerpt_survives(key32, wm):
 def test_mp3_sim_rejected_without_false_positive(key32, wm):
     impaired = channels.codec_sim(wm[: 4 * FS], 128.0)
     det = _fresh_det(key32)
-    assert det.verify(impaired, FS) in (True, False)  # no crash
+    # measured on this platform: the codec sim's spectral quantisation is
+    # information-fatal to the compat format -> rejected.  (If a future
+    # demod improvement flips this row to True, that is acceptable -- update
+    # the pin; silent acceptance of BOTH verdicts is not.)
+    assert det.verify(impaired, FS) is False
     # wrong key must never pass, impaired or not
     assert WatermarkDetector(bytes.fromhex("11" * 32),
                              list_size=8).verify(impaired, FS) is False
@@ -66,10 +70,41 @@ def test_clipping_host_is_survivable(key32):
     ).astype(np.float32)
     wm = be.embed(host, session_nonce=b"clipping")
     # embedding on a loud clipped host: watermark squeezed into headroom;
-    # detection on loud hosts is outside the compat envelope -> just assert
-    # clean behaviour (bool, no crash) and no wrong-key acceptance
+    # detection on loud hosts is outside the compat envelope.  Measured on
+    # this platform: rejected (host energy swamps the exact-inversion
+    # demod).  A True here after a demod improvement is acceptable --
+    # update the pin; the wrong-key rejection below must NEVER flip.
     det = _fresh_det(key32)
-    assert isinstance(det.verify(wm, FS), bool)
+    assert det.verify(wm, FS) is False
+    assert WatermarkDetector(bytes.fromhex("22" * 32),
+                             list_size=8).verify(wm, FS) is False
+
+
+def test_light_inband_noise_boundary(key32, wm):
+    """Compat's noise boundary is ZERO in-band noise (ADVICE r2 pin).
+
+    Round 2 changed LAM_DIRECT_PROFILES (1e-12, 1e-8) -> (1e-12, 1e-12),
+    dropping the profile intended for light in-band noise.  Measured (this
+    round): the compat format rejects band-passed 4-22 kHz noise at EVERY
+    level down to -40 dB relative to the watermark -- the old 1e-8 profile
+    never served a live operating point (the sub-4 kHz truncation leakage
+    carries ~100 chip dimensions regardless of lam; ops/demod.py).  This
+    pins the trade the profile change made: clean accepts, light noise
+    rejects.  If a future demod recovers the light-noise point, flip the
+    -30 dB row to True and record the new envelope.
+    """
+    from scipy.signal import lfilter
+
+    from echoseal_tpu.ops import filters
+
+    clip = np.ascontiguousarray(wm[: 4 * FS])
+    assert _fresh_det(key32).verify(clip, FS) is True      # clean baseline
+    wm_rms = float(np.sqrt(np.mean(clip**2)))
+    b, a = filters.butter_coeffs(4000.0, 22000.0, FS)
+    rng = np.random.default_rng(7)
+    noise = lfilter(b, a, rng.standard_normal(clip.size)).astype(np.float32)
+    noise *= wm_rms * 10 ** (-30 / 20) / (np.sqrt(np.mean(noise**2)) + 1e-12)
+    assert _fresh_det(key32).verify(clip + noise, FS) is False
 
 
 def test_dropout_survives(key32, wm):
