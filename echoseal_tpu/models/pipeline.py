@@ -18,6 +18,15 @@ dispatch (the BASELINE.json north star: >=1000x real-time per chip):
 Scale-out: `shard_map` over a 1-D ``streams`` mesh axis -- clips are
 independent, so the only collective is an optional verdict-count psum
 (echoseal_tpu/parallel/mesh.py).
+
+Tier parity (measured, benchmarks/tier_compare.json): the compat batch
+tier is hard-decision-only with ``peaks=2`` while the single-clip detector
+adds the cascade demod variant and a raw-chip SCL ladder -- but across
+every clip class the compat format can carry at all (clean, non-aligned
+mid-stream cuts, excerpts, 5 ms dropouts, counters past the PN table),
+both tiers accept 8/8 with ZERO diverging verdicts.  The extra single-clip
+machinery only matters in the gray zone the wire format itself cannot
+traverse (ops/demod.py), so the serving tier deliberately omits it.
 """
 from __future__ import annotations
 
