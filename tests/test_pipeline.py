@@ -197,10 +197,10 @@ def test_scl_deep_seg_override_parity(key32, monkeypatch):
     outs = []
     for seg in ("1", "16"):
         monkeypatch.setenv("ECHOSEAL_SCL_DEEP_SEG", seg)
-        scl_mod.scl_decode.clear_cache()
-        outs.append(scl_mod.scl_decode(llr, spec, 8))
+        scl_mod._scl_decode_lazy.clear_cache()
+        outs.append(scl_mod._scl_decode_lazy(llr, spec, 8))
     monkeypatch.delenv("ECHOSEAL_SCL_DEEP_SEG")
-    scl_mod.scl_decode.clear_cache()
+    scl_mod._scl_decode_lazy.clear_cache()
     np.testing.assert_array_equal(np.asarray(outs[0]["crc_ok"]),
                                   np.asarray(outs[1]["crc_ok"]))
     np.testing.assert_allclose(
