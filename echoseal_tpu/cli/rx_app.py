@@ -38,22 +38,24 @@ def main(argv=None) -> int:
         raise SystemExit("key must be 256-bit (64 hex chars)")
     if not args.audio:
         raise SystemExit("no --audio given")
-    if args.monitor and args.batch:
-        raise SystemExit("--monitor and --batch are mutually exclusive "
-                         "(the monitor already batches its windows)")
 
     from echoseal_tpu.io import wavio
 
     if args.monitor:
         from echoseal_tpu.models.detector import resample_to
-        from echoseal_tpu.models.monitor import StreamMonitor
+        from echoseal_tpu.models.monitor import BatchStreamMonitor, StreamMonitor
 
         rc = 0
         for path in args.audio:
             data, fs = wavio.read(path)
             data = resample_to(48_000, data, fs)
-            mon = StreamMonitor(key, profile=args.profile,
-                                list_size=args.list_size)
+            if args.batch:
+                # serving-tier monitor: all windows of the file verified in
+                # one device dispatch (no per-window stage/ctr detail)
+                mon = BatchStreamMonitor(key, profile=args.profile)
+            else:
+                mon = StreamMonitor(key, profile=args.profile,
+                                    list_size=args.list_size)
             events = mon.feed(data) + mon.flush()
             file_ok = False
             for ev in events:

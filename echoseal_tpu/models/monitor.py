@@ -103,3 +103,99 @@ class StreamMonitor:
             t_end=(self._pos + win.size) / self.fs,
             result=res,
         )
+
+
+class BatchStreamMonitor:
+    """Continuous monitoring at SERVING throughput: windows as batch rows.
+
+    ``StreamMonitor`` pays one full single-clip ladder per window; at the
+    default 4 s / 2 s cadence that is half the single-clip verify cost per
+    second of stream -- fine for one feed, wasteful for many.  This variant
+    collects every window that completed during a ``feed`` call and
+    verifies them as rows of ONE serving-tier dispatch
+    (``RobustBatchVerifier`` / ``BatchVerifier``), so continuous
+    monitoring pays the batched pipeline's per-clip cost instead
+    (VERDICT r2 stretch item).
+
+    Semantics differences vs ``StreamMonitor`` (serving-tier semantics,
+    models/pipeline.py finish_host_detailed):
+
+    * events carry ``stage='batch'`` and no per-frame detail;
+    * anti-replay is the CALLER's hook: pass ``expected_nonce`` to pin the
+      session; without it any authentic session verifies (multi-tenant).
+
+    Window rows are padded to a power-of-two row-count bucket so repeated
+    feeds reuse one compiled program per bucket.
+    """
+
+    def __init__(self, key32: bytes, *, fs: int = 48_000,
+                 profile: str = "v2", window_s: float = 4.0,
+                 hop_s: float = 2.0, expected_nonce: bytes | None = None,
+                 verifier=None) -> None:
+        if hop_s <= 0 or window_s < hop_s:
+            raise ValueError("need 0 < hop_s <= window_s")
+        self.fs = fs
+        self.window = int(window_s * fs)
+        self.hop = int(hop_s * fs)
+        self.expected_nonce = expected_nonce
+        if verifier is not None:
+            self._bv = verifier
+        elif profile == "v2":
+            from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+            self._bv = RobustBatchVerifier(key32, fs=fs)
+        else:
+            from echoseal_tpu.models.pipeline import BatchVerifier
+
+            self._bv = BatchVerifier(key32, fs=fs)
+        self._tpad = 1 << max(17, (self.window - 1).bit_length())
+        self._buf = np.zeros(0, dtype=np.float32)
+        self._pos = 0
+
+    # ------------------------------------------------------------------ API
+    def feed(self, samples: np.ndarray) -> list[MonitorEvent]:
+        """Append samples; verify every completed window in ONE dispatch."""
+        x = np.asarray(samples, dtype=np.float32).ravel()
+        self._buf = np.concatenate([self._buf, x])
+        wins: list[np.ndarray] = []
+        starts: list[int] = []
+        while self._buf.size >= self.window:
+            wins.append(self._buf[: self.window])
+            starts.append(self._pos)
+            self._buf = self._buf[self.hop :]
+            self._pos += self.hop
+        return self._verify_windows(wins, starts)
+
+    def flush(self) -> list[MonitorEvent]:
+        """Verify whatever trailing audio remains (if long enough)."""
+        from echoseal_tpu.models.detector import MIN_CLIP_SECONDS
+
+        if self._buf.size < int(MIN_CLIP_SECONDS * self.fs):
+            return []
+        ev = self._verify_windows([self._buf], [self._pos])
+        self._pos += self._buf.size
+        self._buf = np.zeros(0, dtype=np.float32)
+        return ev
+
+    # ------------------------------------------------------------ internals
+    def _verify_windows(self, wins, starts) -> list[MonitorEvent]:
+        if not wins:
+            return []
+        rows = 4
+        while rows < len(wins):        # power-of-two bucket: stable compiles
+            rows <<= 1
+        batch = np.zeros((rows, self._tpad), np.float32)
+        nv = np.zeros(rows, np.int32)
+        for i, w in enumerate(wins):
+            batch[i, : w.size] = w
+            nv[i] = w.size
+        verdicts = self._bv.verify_batch(
+            batch, nv, expected_nonce=self.expected_nonce)
+        return [
+            MonitorEvent(
+                t_start=s / self.fs,
+                t_end=(s + w.size) / self.fs,
+                result=VerifyResult(bool(verdicts[i]), stage="batch"),
+            )
+            for i, (w, s) in enumerate(zip(wins, starts))
+        ]

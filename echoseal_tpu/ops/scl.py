@@ -519,10 +519,19 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
     * INNER ``lax.scan`` over the block's leaves: pure dataflow -- deep
       alpha/beta threading, penalties, the (B, 2L) top_k fork, and ONE
       stacked gather moving {src maps, deep betas, deep alphas, hot
-      parent alpha} onto the surviving paths.  No conds, no big buffers.
+      parent alpha, packed decisions} onto the surviving paths.  No
+      conds, no big buffers.
 
-    Path bookkeeping (source index maps, traceback, frozen-masked fork)
-    matches ``_scl_decode_lazy``; results are identical (parity tests).
+    There is NO traceback: measured on chip, the reverse traceback scan
+    (two (B, L)-row gathers x N steps at fixed per-op cost) cost more
+    than the whole forward pass.  Instead the decision history rides the
+    fork gather BIT-PACKED -- ``u_packed`` (B, L, N/32) int32, one word
+    updated per leaf via a pure ``where`` -- so every path's bits are
+    already path-indexed when the scan ends (width +N/32 on a gather
+    whose cost is per-row, not per-byte).
+
+    Path bookkeeping (source index maps, frozen-masked fork) matches
+    ``_scl_decode_lazy``; results are identical (parity tests).
     """
     N, n, L = spec.N, spec.n_stages, int(list_size)
     llr = llr.astype(jnp.float32)
@@ -561,12 +570,15 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
     a_hp = jnp.zeros((B, L, seg_hp), jnp.float32)
     da = jnp.zeros((B, L, A), jnp.float32)
     db = jnp.zeros((B, L, 2, A), jnp.int32)
+    n_words = -(-N // 32)
+    word_ax = jnp.arange(n_words, dtype=jnp.int32)
+    u_packed = jnp.zeros((B, L, n_words), jnp.int32)
     metric = jnp.concatenate(
         [jnp.zeros((B, 1)), jnp.full((B, L - 1), BIG_METRIC)], axis=1
     ).astype(jnp.float32) if L > 1 else jnp.zeros((B, 1), jnp.float32)
 
     def outer(carry, t):
-        cold_alphas, cold_betas, src, a_hp, da, db, metric = carry
+        cold_alphas, cold_betas, src, a_hp, da, db, u_packed, metric = carry
         cold_alphas, cold_betas = list(cold_alphas), list(cold_betas)
         phi0 = t * n_blk
 
@@ -601,7 +613,7 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
 
         # ---- inner scan: the block's leaves, pure dataflow ---------------
         def body(icarry, j):
-            src, a_hp, da, db, metric = icarry
+            src, a_hp, da, db, u_packed, metric = icarry
             phi = phi0 + j
 
             da_segs: dict[int, jnp.ndarray] = {}
@@ -631,7 +643,8 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
             stacked = jnp.concatenate(
                 [src, db.reshape(B, L, 2 * A),
                  jax.lax.bitcast_convert_type(da, jnp.int32),
-                 jax.lax.bitcast_convert_type(a_hp, jnp.int32)], axis=-1)
+                 jax.lax.bitcast_convert_type(a_hp, jnp.int32),
+                 u_packed], axis=-1)
             stacked = jnp.take_along_axis(stacked, parent_ix[..., None],
                                           axis=1)
             src = stacked[..., :ns_cols]
@@ -639,7 +652,14 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
             da = jax.lax.bitcast_convert_type(
                 stacked[..., ns_cols + 2 * A : ns_cols + 3 * A], jnp.float32)
             a_hp = jax.lax.bitcast_convert_type(
-                stacked[..., ns_cols + 3 * A :], jnp.float32)
+                stacked[..., ns_cols + 3 * A : ns_cols + 3 * A + seg_hp],
+                jnp.float32)
+            u_packed = stacked[..., ns_cols + 3 * A + seg_hp :]
+
+            # record the decision: one packed word touched, pure dataflow
+            u_packed = jnp.where(word_ax == (phi >> 5),
+                                 u_packed | (bits[:, :, None] << (phi & 31)),
+                                 u_packed)
 
             db_segs = {l: db[:, :, :, offs[l] : offs[l] + segs[l]]
                        for l in deep}
@@ -660,10 +680,10 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
                 db_segs[l - 1] = jnp.where(prop, new, old)
             db = jnp.concatenate([db_segs[l] for l in deep], axis=-1)
 
-            return (src, a_hp, da, db, metric), (parent_ix, bits)
+            return (src, a_hp, da, db, u_packed, metric), ()
 
-        (src, a_hp, da, db, metric), (parents_b, bits_b) = jax.lax.scan(
-            body, (src, a_hp, da, db, metric),
+        (src, a_hp, da, db, u_packed, metric), _ = jax.lax.scan(
+            body, (src, a_hp, da, db, u_packed, metric),
             jnp.arange(n_blk, dtype=jnp.int32))
 
         # ---- block end: level ld0 -> cold beta hp (fires every block) ----
@@ -700,23 +720,16 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
             src = src.at[:, :, nca + l - 2].set(new_col)
 
         carry = (tuple(cold_alphas), tuple(cold_betas), src, a_hp, da, db,
-                 metric)
-        return carry, (parents_b, bits_b)
+                 u_packed, metric)
+        return carry, ()
 
-    init = (cold_alphas, cold_betas, src, a_hp, da, db, metric)
-    (_, _, _, _, _, _, metric), (parents_blk, bits_blk) = jax.lax.scan(
+    init = (cold_alphas, cold_betas, src, a_hp, da, db, u_packed, metric)
+    (_, _, _, _, _, _, u_packed, metric), _ = jax.lax.scan(
         outer, init, jnp.arange(n_blocks, dtype=jnp.int32))
 
-    parents = parents_blk.reshape(N, B, L)
-    bits = bits_blk.reshape(N, B, L)
-
-    def tb(cur, rec):
-        parent, b = rec
-        out = jnp.take_along_axis(b, cur, axis=1)
-        return jnp.take_along_axis(parent, cur, axis=1), out
-
-    _, u_rev = jax.lax.scan(tb, ident, (parents, bits), reverse=True)
-    u = jnp.moveaxis(u_rev, 0, -1)  # (B, L, N)
+    # unpack the per-path decision words: word w bit b <-> leaf w*32+b
+    u = ((u_packed[..., None] >> jnp.arange(32, dtype=jnp.int32)) & 1
+         ).astype(jnp.int32).reshape(B, L, n_words * 32)[..., :N]
 
     data = u[..., jnp.asarray(spec.data_pos)]
     info = data[..., : spec.info_len]

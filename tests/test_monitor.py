@@ -85,3 +85,46 @@ def test_monitor_441k_capture_per_profile(key32):
     wm2 = RobustEmbedder(key32).process(np.zeros(6 * FS, dtype=np.float32))
     down = resample_to(44_100, wm2, FS)
     assert RobustVerifier(key32).verify(down, 44_100) is True
+
+
+def test_batch_monitor_serving_tier(key32):
+    """BatchStreamMonitor: all completed windows verify in ONE dispatch.
+
+    Serving-tier semantics (VERDICT r2 stretch): events carry
+    stage='batch', and anti-replay is the caller's expected_nonce hook.
+    """
+    from echoseal_tpu.models.monitor import BatchStreamMonitor
+    from echoseal_tpu.models.robust import RobustEmbedder
+
+    tx = RobustEmbedder(key32)
+    tx._session_nonce = b"monitorA"
+    host = (0.1 * np.sin(2 * np.pi * 700 * np.arange(12 * FS) / FS)
+            ).astype(np.float32)
+    wm = tx.process(host)
+
+    mon = BatchStreamMonitor(key32, window_s=4.0, hop_s=2.0)
+    events = []
+    for i in range(0, wm.size, 3 * FS):
+        events += mon.feed(wm[i : i + 3 * FS])
+    events += mon.flush()
+    assert len(events) >= 4
+    assert all(ev.result.authentic for ev in events)
+    assert all(ev.result.stage == "batch" for ev in events)
+    starts = [ev.t_start for ev in events[:-1]]
+    assert starts == pytest.approx(
+        [2.0 * k for k in range(len(starts))], abs=1e-6)
+
+    # expected_nonce pins the session: a foreign-session stream rejects
+    tx2 = RobustEmbedder(key32)
+    tx2._session_nonce = b"monitorB"
+    wm2 = tx2.process(host[: 6 * FS])
+    mon2 = BatchStreamMonitor(key32, window_s=4.0, hop_s=2.0,
+                              expected_nonce=b"monitorA")
+    ev2 = mon2.feed(wm2) + mon2.flush()
+    assert ev2 and not any(ev.result.authentic for ev in ev2)
+
+    # wrong key: nothing verifies
+    mon3 = BatchStreamMonitor(bytes.fromhex("33" * 32),
+                              window_s=4.0, hop_s=2.0)
+    ev3 = mon3.feed(wm[: 6 * FS]) + mon3.flush()
+    assert ev3 and not any(ev.result.authentic for ev in ev3)
