@@ -65,7 +65,6 @@ def main() -> None:
     fs = 48_000
     clip_s = 3.0
     T = int(clip_s * fs)
-    Tpad = 1 << 18
     B = 256
     rng = np.random.default_rng(0)
 
@@ -74,8 +73,13 @@ def main() -> None:
     n_frames = -(-T // FRAME_LEN)
 
     def slice_clips(stream: jnp.ndarray, starts: np.ndarray,
-                    scale: float) -> jnp.ndarray:
-        """(B, Tpad) float32 clips gathered on device from one long stream."""
+                    scale: float, Tpad: int) -> jnp.ndarray:
+        """(B, Tpad) float32 clips gathered on device from one long stream.
+
+        Tpad is NOT rounded to a power of two: the pipeline's sync conv
+        runs over every padded sample, so a 2**18 pad of a 3 s clip would
+        waste ~45% of the dominant conv (VERDICT r3 perf work).
+        """
 
         @jax.jit
         def stage(stream, starts):
@@ -103,7 +107,8 @@ def main() -> None:
             stream = jnp.concatenate(chunks).reshape(-1)
             start_ctr = rng.integers(0, TOTAL_CTRS - n_frames, size=B)
             scale = 10.0 ** (be.p.floor_rel_dbfs / 20.0)
-            return slice_clips(stream, start_ctr * FRAME_LEN, scale)
+            return slice_clips(stream, start_ctr * FRAME_LEN, scale,
+                               T + 8192)
 
         clips_dev = _retry(stage_compat, "compat clip staging")
         nv_dev = jnp.full(B, T, dtype=jnp.int32)
@@ -137,7 +142,7 @@ def main() -> None:
             ).astype(np.float32)
             stream = remb.process(host)           # host TX (~60 frames)
             starts = rng.integers(0, stream.size - T, size=B)
-            return slice_clips(jnp.asarray(stream), starts, 1.0)
+            return slice_clips(jnp.asarray(stream), starts, 1.0, T + 16384)
 
         v2_clips = _retry(stage_v2, "v2 clip staging")
         nv = np.full(B, T, dtype=np.int32)

@@ -223,7 +223,11 @@ def _batch_verify_stage_v2(
     """
     B, T = x.shape
 
-    corr = demod.normalized_xcorr(x, templates)             # (B, 4, Tc)
+    # bf16 sync: the 504-tap conv over the whole padded batch dominates
+    # the v2 stage (measured on chip); scores only rank/gate peak
+    # positions, so the MXU-native precision is free accuracy-wise
+    corr = demod.normalized_xcorr(x, templates,
+                                  compute_dtype=jnp.bfloat16)  # (B, 4, Tc)
     lag = jnp.arange(corr.shape[-1])
     corr = jnp.where(lag[None, None, :] <= (n_valid[:, None, None] - span),
                      corr, -jnp.inf)

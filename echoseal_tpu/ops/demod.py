@@ -164,7 +164,8 @@ def sync_templates(fs: int) -> np.ndarray:
 # ======================================================================
 # device-side pipeline pieces (pure, jittable)
 # ======================================================================
-def normalized_xcorr(x: jnp.ndarray, templates: jnp.ndarray) -> jnp.ndarray:
+def normalized_xcorr(x: jnp.ndarray, templates: jnp.ndarray,
+                     compute_dtype=None) -> jnp.ndarray:
     """Sliding cosine similarity of ``x`` (..., T) vs (B, L) templates.
 
     Returns (..., B, T - L + 1).  Both the template correlation and the
@@ -173,21 +174,32 @@ def normalized_xcorr(x: jnp.ndarray, templates: jnp.ndarray) -> jnp.ndarray:
     FFT formulation (whose power-of-two round-up doubles an already
     padded clip and streams GB-scale complex intermediates through HBM).
     Mirrors detector.py:75-79 without the RX IIR.
+
+    ``compute_dtype=jnp.bfloat16`` runs the convs at the MXU's native
+    rate (~4x the f32 pass) with f32 accumulation.  Sync is pure
+    peak-FINDING -- scores only gate/rank candidate positions, they never
+    enter the chip estimates -- so the ~0.4% relative error is harmless
+    there.  Keep f32 anywhere the output feeds demodulation.
     """
     L = templates.shape[-1]
     nb = templates.shape[0]
     lead = x.shape[:-1]
     xr = x.reshape((-1, 1) + x.shape[-1:])          # (N, C=1, T)
     kern = templates[:, None, :]                     # (O=nb, I=1, L)
+    x2 = xr * xr                                     # square in f32 always
+    if compute_dtype is not None:
+        xr = xr.astype(compute_dtype)
+        kern = kern.astype(compute_dtype)
+        x2 = x2.astype(compute_dtype)
     dn = jax.lax.conv_dimension_numbers(xr.shape, kern.shape,
                                         ("NCW", "OIW", "NCW"))
     corr = jax.lax.conv_general_dilated(
         xr, kern, window_strides=(1,), padding="VALID",
         dimension_numbers=dn, preferred_element_type=jnp.float32)
 
-    ones = jnp.ones((1, 1, L), x.dtype)
+    ones = jnp.ones((1, 1, L), xr.dtype)
     e2 = jax.lax.conv_general_dilated(
-        xr * xr, ones, window_strides=(1,), padding="VALID",
+        x2, ones, window_strides=(1,), padding="VALID",
         dimension_numbers=dn, preferred_element_type=jnp.float32)
     energy = jnp.sqrt(jnp.maximum(e2, 0.0)) + 1e-12
     return (corr / energy).reshape(lead + (nb, corr.shape[-1]))
