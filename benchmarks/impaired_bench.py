@@ -95,6 +95,10 @@ def main() -> None:
         base[i] = fr.reshape(-1)[:T] * scale
     bv = BatchVerifier(key)
     nv = np.full(args.batch, T, dtype=np.int32)
+    # untimed warmup: compile the batch stage once outside the rows
+    warm = np.zeros((args.batch, Tpad), dtype=np.float32)
+    warm[:, :T] = base[:, :T]
+    bv.verify_batch(jax.device_put(jax.numpy.asarray(warm)), nv)
     compat = {}
     for name, f in impair.items():
         clips = np.zeros((args.batch, Tpad), dtype=np.float32)
@@ -102,6 +106,10 @@ def main() -> None:
             y = f(base[i].copy())
             clips[i, : min(y.size, T)] = y[:T]
         clips_dev = jax.device_put(jax.numpy.asarray(clips))
+        # force the (async) upload to complete before the timed region --
+        # block_until_ready is a no-op on tunneled backends, so materialize
+        # a device-side reduction instead
+        float(np.asarray(jax.numpy.sum(clips_dev)))
         t0 = time.perf_counter()
         v = bv.verify_batch(clips_dev, nv)
         compat[name] = dict(accept=float(np.mean(v)),
@@ -121,6 +129,9 @@ def main() -> None:
 
     bv2 = RobustBatchVerifier(key)
     nv2 = np.full(B, T, dtype=np.int32)
+    warm2 = np.zeros((B, Tpad), dtype=np.float32)
+    warm2[:, :T] = base2[:, :T]
+    bv2.verify_batch(jax.device_put(jax.numpy.asarray(warm2)), nv2)
     v2 = {}
     for name, f in impair.items():
         clips = np.zeros((B, Tpad), dtype=np.float32)
@@ -137,6 +148,7 @@ def main() -> None:
             v = bv2.verify_batch_recover(clips, nvr)
         else:
             clips_dev = jax.device_put(jax.numpy.asarray(clips))
+            float(np.asarray(jax.numpy.sum(clips_dev)))   # upload barrier
             t0 = time.perf_counter()
             v = bv2.verify_batch(clips_dev, nvr)
         dt = time.perf_counter() - t0

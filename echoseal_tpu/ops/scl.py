@@ -577,7 +577,12 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
         [jnp.zeros((B, 1)), jnp.full((B, L - 1), BIG_METRIC)], axis=1
     ).astype(jnp.float32) if L > 1 else jnp.zeros((B, 1), jnp.float32)
 
-    def outer(carry, t):
+    # static per-block rate-0 flags (6/32 blocks for the shipped specs)
+    rate0_flags = jnp.asarray(
+        np.asarray(spec.frozen).reshape(n_blocks, n_blk).all(axis=1))
+
+    def outer(carry, xs):
+        t, is_rate0 = xs
         cold_alphas, cold_betas, src, a_hp, da, db, u_packed, metric = carry
         cold_alphas, cold_betas = list(cold_alphas), list(cold_betas)
         phi0 = t * n_blk
@@ -612,6 +617,23 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
                 a_hp = jax.lax.cond(need, recompute, lambda v=a_hp: v)
 
         # ---- inner scan: the block's leaves, pure dataflow ---------------
+        def rate0_block(operands):
+            """ALL-frozen block: exact metric shortcut, no leaf walk.
+
+            For a rate-0 node the exact path-metric increment equals
+            sum_j softplus(alpha_j) over the NODE's alphas (provable by
+            induction on f/g: softplus(f(a,b)) + softplus(g(a,b,0)) =
+            softplus(a) + softplus(b)) -- and the node alphas ARE the hot
+            parent a_hp.  No forks (all paths pick bit 0), so src /
+            a_hp / u_packed are untouched; the span's betas are all zero,
+            so db is zeroed (the only cross-block db read comes from the
+            immediately preceding block, deeper state flows through the
+            cold buffers by construction).
+            """
+            src, a_hp, da, db, u_packed, metric = operands
+            metric = metric + jnp.sum(jax.nn.softplus(a_hp), axis=-1)
+            return src, a_hp, da, jnp.zeros_like(db), u_packed, metric
+
         def body(icarry, j):
             src, a_hp, da, db, u_packed, metric = icarry
             phi = phi0 + j
@@ -682,9 +704,14 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
 
             return (src, a_hp, da, db, u_packed, metric), ()
 
-        (src, a_hp, da, db, u_packed, metric), _ = jax.lax.scan(
-            body, (src, a_hp, da, db, u_packed, metric),
-            jnp.arange(n_blk, dtype=jnp.int32))
+        def full_block(operands):
+            out, _ = jax.lax.scan(body, operands,
+                                  jnp.arange(n_blk, dtype=jnp.int32))
+            return out
+
+        (src, a_hp, da, db, u_packed, metric) = jax.lax.cond(
+            is_rate0, rate0_block, full_block,
+            (src, a_hp, da, db, u_packed, metric))
 
         # ---- block end: level ld0 -> cold beta hp (fires every block) ----
         phi_end = phi0 + n_blk - 1
@@ -725,7 +752,8 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
 
     init = (cold_alphas, cold_betas, src, a_hp, da, db, u_packed, metric)
     (_, _, _, _, _, _, u_packed, metric), _ = jax.lax.scan(
-        outer, init, jnp.arange(n_blocks, dtype=jnp.int32))
+        outer, init,
+        (jnp.arange(n_blocks, dtype=jnp.int32), rate0_flags))
 
     # unpack the per-path decision words: word w bit b <-> leaf w*32+b
     u = ((u_packed[..., None] >> jnp.arange(32, dtype=jnp.int32)) & 1
