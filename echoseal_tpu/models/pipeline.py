@@ -573,16 +573,19 @@ class RobustBatchVerifier(BatchVerifier):
         """``verify_batch`` plus batched +-5% playback-speed recovery.
 
         Mirrors the single-clip ladder (models/robust.py verify_detailed)
-        at batch granularity: clips the plain pass misses get one
-        sync-only scaled-template scan each (device), are group-resampled
-        per recovered factor on the host (one polyphase call per distinct
-        factor), re-verified in one dispatch, and still-failing clips get
-        one inter-peak-spacing refinement round.  Cost: 2 extra device
-        dispatches + host resamples, only for the failing subset.
+        at batch granularity: clips the plain pass misses get a sync-only
+        scaled-template scan (batched: failing rows gathered ON DEVICE
+        from the already-uploaded clip batch, scanned in chunks of <=128
+        clips per dispatch -- not one dispatch per clip, which paid a
+        fixed overhead + a 640 KB upload each over the tunneled backend),
+        are group-resampled per recovered factor on the host (one
+        polyphase call per distinct factor), re-verified in one dispatch,
+        and still-failing clips get one inter-peak-spacing refinement
+        round.
         """
         from echoseal_tpu.models.robust import (
             SCALE_SCAN_GRID,
-            _scale_scan_stage,
+            _scale_scan_batch,
             scaled_template_bank,
         )
 
@@ -592,7 +595,8 @@ class RobustBatchVerifier(BatchVerifier):
             n_valid = np.full(B, Tpad, dtype=np.int32)
         n_valid = np.asarray(n_valid, dtype=np.int32)
 
-        out = self.run_device(clips, n_valid)
+        clips_dev = jnp.asarray(clips)
+        out = self.run_device(clips_dev, n_valid)
         verdicts = self._finish_ladder(out, expected_nonce, True, 1 << 20)
         fail = np.flatnonzero(~verdicts)
         if fail.size == 0:
@@ -600,18 +604,29 @@ class RobustBatchVerifier(BatchVerifier):
 
         bank = jnp.asarray(scaled_template_bank(
             self.fs, self.profile.oversample))
-        factors: dict[int, float] = {}
-        for i in fail:
-            score = np.asarray(_scale_scan_stage(
-                jnp.asarray(clips[i]), jnp.int32(n_valid[i]), bank))
-            per = score.reshape(len(SCALE_SCAN_GRID), 4).max(axis=1)
-            med = np.median(per)
-            mad = np.median(np.abs(per - med)) + 1e-9
-            b = int(np.argmax(per))
-            f = float(SCALE_SCAN_GRID[b])
-            if (per[b] >= max(med + 2.0 * 1.4826 * mad, 1.15 * med)
-                    and abs(f - 1.0) > 1e-4):
-                factors[int(i)] = f
+        CHUNK = 128
+        score_parts: list[np.ndarray] = []
+        for c0 in range(0, fail.size, CHUNK):
+            idx = fail[c0:c0 + CHUNK]
+            # pad to a power-of-two bucket: one compile per bucket size
+            bucket = min(CHUNK, 1 << max(0, int(idx.size - 1).bit_length()))
+            pad_idx = np.zeros(bucket, dtype=np.int32)
+            pad_idx[:idx.size] = idx
+            s = np.asarray(_scale_scan_batch(
+                clips_dev[jnp.asarray(pad_idx)],
+                jnp.asarray(n_valid[pad_idx]), bank))
+            score_parts.append(s[:idx.size])
+        scores = np.concatenate(score_parts)           # (n_fail, rows)
+
+        per = scores.reshape(fail.size, len(SCALE_SCAN_GRID), 4).max(axis=2)
+        med = np.median(per, axis=1)
+        mad = np.median(np.abs(per - med[:, None]), axis=1) + 1e-9
+        b = np.argmax(per, axis=1)
+        pb = per[np.arange(fail.size), b]
+        f = np.asarray(SCALE_SCAN_GRID)[b]
+        passed = ((pb >= np.maximum(med + 2.0 * 1.4826 * mad, 1.15 * med))
+                  & (np.abs(f - 1.0) > 1e-4))
+        factors = {int(fail[i]): float(f[i]) for i in np.flatnonzero(passed)}
         return self._retry_scaled(clips, n_valid, factors, verdicts,
                                   expected_nonce, refine=True)
 
@@ -647,6 +662,17 @@ class RobustBatchVerifier(BatchVerifier):
                 sel.append(i)
                 rows.append(row)
                 nv2.append(min(int(int(n_valid[i]) * self.fs / den), L))
+        # pad to a power-of-two bucket: the resampled-retry batch size is
+        # the (arbitrary) number of recovered clips, and every distinct
+        # batch size would otherwise cost a fresh XLA compile of the v2
+        # stage -- minutes each on TPU
+        n_rows = len(rows)
+        bucket = 32
+        while bucket < n_rows:
+            bucket <<= 1
+        for _ in range(bucket - n_rows):
+            rows.append(np.zeros(Tpad, np.float32))
+            nv2.append(0)
         batch = np.stack(rows)
         out = self.run_device(batch, np.asarray(nv2, np.int32))
         vr = self._finish_ladder(out, expected_nonce, True, 1 << 20)
