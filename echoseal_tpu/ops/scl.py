@@ -229,7 +229,10 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
     """
     impl = os.environ.get("ECHOSEAL_SCL_IMPL")
     if impl is None:
-        impl = "blocked" if jax.default_backend() == "tpu" else "lazy"
+        impl = "unrolled" if jax.default_backend() == "tpu" else "lazy"
+    if impl == "unrolled":
+        block_seg = int(os.environ.get("ECHOSEAL_SCL_BLOCK_SEG", 16))
+        return _scl_decode_unrolled(llr, spec, int(list_size), block_seg)
     if impl == "blocked":
         block_seg = int(os.environ.get("ECHOSEAL_SCL_BLOCK_SEG", 16))
         return _scl_decode_blocked(llr, spec, int(list_size), block_seg)
@@ -757,6 +760,223 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
 
     # unpack the per-path decision words: word w bit b <-> leaf w*32+b
     u = ((u_packed[..., None] >> jnp.arange(32, dtype=jnp.int32)) & 1
+         ).astype(jnp.int32).reshape(B, L, n_words * 32)[..., :N]
+
+    data = u[..., jnp.asarray(spec.data_pos)]
+    info = data[..., : spec.info_len]
+    crc = data[..., spec.info_len:]
+    crc_ok = crc8_check_batch(info, crc, spec.crc_mat)
+
+    order = jnp.argsort(metric, axis=-1, stable=True)
+    info = jnp.take_along_axis(info, order[..., None], axis=1)
+    crc_ok = jnp.take_along_axis(crc_ok, order, axis=1)
+    metric = jnp.take_along_axis(metric, order, axis=1)
+    return {"info_bits": info, "crc_ok": crc_ok, "metrics": metric}
+
+
+@partial(jax.jit, static_argnames=("spec", "list_size", "block_seg"))
+def _scl_decode_unrolled(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
+                         block_seg: int = 16):
+    """Statically-unrolled fast-list formulation -- TPU production path.
+
+    The scan formulations pay the full fork machinery -- a (B, 2L)
+    ``top_k`` plus the stacked path gather (fixed per-row cost on this
+    backend) -- at EVERY leaf, because inside ``lax.scan`` the frozen
+    pattern is a traced value.  But the pattern is static: this
+    formulation unrolls the whole decode at trace time (the code
+    structure is a pure function of ``spec.frozen``), which buys, in
+    decreasing order of measured weight:
+
+    * frozen leaves (384 of the 832 walked leaves for the shipped compat
+      spec) skip the fork entirely -- their decision is forced, so they
+      cost one penalty add, no ``top_k``, no gather;
+    * any ALIGNED all-frozen subtree inside a block collapses to the
+      exact rate-0 metric shortcut ``metric += sum softplus(alpha)``
+      (the scan version could only do this at whole-block granularity);
+    * repetition subtrees (all-frozen-but-last; present in the v2
+      standard-convention spec) collapse to ONE two-candidate fork with
+      the exact node-level penalties ``pen(c) = sum_j [log1p(e^-|a_j|) +
+      |a_j| * (c disagrees with sign(a_j))]`` -- the per-leaf penalties
+      telescope to exactly this by induction on the f/g pair
+      (softplus(f(a,b)) + softplus(+-g(a,b,u)) identities), so list
+      contents and metrics are bit-identical to the leaf walk;
+    * the lazy-recompute schedule specializes: ``lax.cond``/``where``
+      selects disappear, each level computes exactly on its O(N log N)
+      schedule.
+
+    Path-state layout follows ``_scl_decode_blocked``: cold shallow
+    buffers (levels 1..hp) stay out of the fork via per-path source-index
+    maps, and everything hot -- src maps, the hot block-root alpha, the
+    live deep alphas/betas of the recursion spine, and the bit-packed
+    decision words -- rides each fork as ONE stacked gather.  Here the
+    stack is assembled per fork from a trace-time registry dict, so only
+    arrays actually live at that point in the walk are moved.
+
+    Replaces reference fastpolar.py:254-359; results identical to the
+    other formulations (tests/test_scl_proof.py parity, both specs).
+    """
+    N, n, L = spec.N, spec.n_stages, int(list_size)
+    llr = llr.astype(jnp.float32)
+    B = llr.shape[0]
+    root = llr[:, None, :]
+    frozen = np.asarray(spec.frozen)
+
+    ld0 = next((l for l in range(1, n + 1) if (N >> l) <= block_seg), n)
+    ld0 = max(ld0, 2)
+    hp = ld0 - 1                   # block-root level (alpha rides forks)
+    n_blk = 1 << (n - hp)
+    n_blocks = N // n_blk
+    nca = hp - 1                   # cold alpha levels 1..hp-1
+    ns_cols = nca + hp             # + cold beta levels 1..hp
+
+    ident = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L))
+    cold_alphas = [
+        jnp.zeros((B, L, N >> l), jnp.float32) for l in range(1, hp)]
+    cold_betas = [
+        jnp.zeros((B, L, 2, N >> l), jnp.int32) for l in range(1, hp + 1)]
+    n_words = -(-N // 32)
+
+    # trace-time registry of per-path state that must ride every fork.
+    # dict order is insertion order (stable within a trace); values are
+    # (B, L, cols) arrays, f32 entries bitcast for the stacked gather.
+    S: dict[str, jnp.ndarray] = {
+        "src": jnp.broadcast_to(
+            jnp.arange(L, dtype=jnp.int32)[None, :, None], (B, L, ns_cols)),
+        "u": jnp.zeros((B, L, n_words), jnp.int32),
+    }
+    metric0 = jnp.concatenate(
+        [jnp.zeros((B, 1)), jnp.full((B, L - 1), BIG_METRIC)], axis=1
+    ).astype(jnp.float32) if L > 1 else jnp.zeros((B, 1), jnp.float32)
+    S["metric"] = metric0          # handled specially by fork (from top_k)
+
+    def fork(pen0: jnp.ndarray, pen1: jnp.ndarray) -> jnp.ndarray:
+        """2L-candidate fork: permutes every live array in ``S``."""
+        cand = jnp.stack([S["metric"] + pen0, S["metric"] + pen1],
+                         axis=-1).reshape(B, 2 * L)
+        neg_vals, idx = jax.lax.top_k(-cand, L)
+        parent = (idx >> 1).astype(jnp.int32)
+        keys = [k for k in S if k != "metric"]
+        parts, splits, isf32 = [], [], []
+        for k in keys:
+            v = S[k]
+            flat = v.reshape(B, L, -1)
+            isf32.append(v.dtype == jnp.float32)
+            if isf32[-1]:
+                flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+            parts.append(flat)
+            splits.append(flat.shape[-1])
+        stacked = jnp.take_along_axis(
+            jnp.concatenate(parts, axis=-1), parent[..., None], axis=1)
+        off = 0
+        for k, w, f32 in zip(keys, splits, isf32):
+            piece = stacked[..., off : off + w]
+            if f32:
+                piece = jax.lax.bitcast_convert_type(piece, jnp.float32)
+            S[k] = piece.reshape(S[k].shape)
+            off += w
+        S["metric"] = -neg_vals
+        return (idx & 1).astype(jnp.int32)
+
+    def set_u_bit(phi: int, bits: jnp.ndarray) -> None:
+        w, sh = phi >> 5, phi & 31
+        S["u"] = S["u"].at[:, :, w].set(S["u"][:, :, w] | (bits << sh))
+
+    def walk(l: int, pos: int, akey: str) -> str:
+        """Decode the subtree at level ``l`` starting at leaf ``pos``.
+
+        The subtree root alpha lives in ``S[akey]`` (so forks inside the
+        subtree keep it consistent); returns the registry key of the
+        (B, L, N>>l) int32 beta.  ``akey`` is consumed (popped).
+        """
+        seg = N >> l
+        span = seg                   # leaves under this node
+        fr = frozen[pos : pos + span]
+        bkey = f"b{l}_{pos}"
+        if fr.all():                 # exact rate-0 shortcut
+            a = S.pop(akey)
+            S["metric"] = S["metric"] + jnp.sum(jax.nn.softplus(a), axis=-1)
+            S[bkey] = jnp.zeros((B, L, seg), jnp.int32)
+            return bkey
+        if l == n:                   # single info leaf
+            a = S.pop(akey)[..., 0]
+            pen0, pen1 = _penalties(a)
+            bits = fork(pen0, pen1)
+            set_u_bit(pos, bits)
+            S[bkey] = bits[:, :, None]
+            return bkey
+        if fr[:-1].all() and not fr[-1]:   # exact repetition shortcut
+            a = S.pop(akey)
+            soft = jnp.log1p(jnp.exp(-jnp.abs(a)))
+            mag = jnp.abs(a)
+            pen_c0 = jnp.sum(soft + jnp.where(a >= 0.0, mag, 0.0), axis=-1)
+            pen_c1 = jnp.sum(soft + jnp.where(a >= 0.0, 0.0, mag), axis=-1)
+            bits = fork(pen_c0, pen_c1)
+            set_u_bit(pos + span - 1, bits)
+            S[bkey] = jnp.broadcast_to(bits[:, :, None], (B, L, seg))
+            return bkey
+        # internal node: f -> left, g -> right, combine betas
+        h = seg >> 1
+        a = S[akey]
+        lkey = f"a{l + 1}_{pos}"
+        S[lkey] = _f_combine(a[..., :h], a[..., h:])
+        blkey = walk(l + 1, pos, lkey)
+        a = S.pop(akey)              # re-read: forks may have permuted it
+        rkey = f"a{l + 1}_{pos + h}"
+        S[rkey] = _g_combine(a[..., :h], a[..., h:], S[blkey])
+        brkey = walk(l + 1, pos + h, rkey)
+        bl, br = S.pop(blkey), S.pop(brkey)
+        S[bkey] = jnp.concatenate([jnp.bitwise_xor(bl, br), br], axis=-1)
+        return bkey
+
+    for t in range(n_blocks):
+        phi0 = t * n_blk
+        # ---- cold alpha recomputes + the block-root (hot) alpha ---------
+        for l in range(1, hp + 1):
+            seg = N >> l
+            if phi0 & ((1 << (n - l)) - 1):
+                continue             # level not refreshed at this block
+            phi_l = phi0 >> (n - l)
+            parent = (root if l == 1
+                      else _take_rows(cold_alphas[l - 2],
+                                      S["src"][:, :, l - 2]))
+            left, right = parent[..., :seg], parent[..., seg:]
+            if phi_l & 1:
+                beta_left = _take_rows(
+                    cold_betas[l - 1], S["src"][:, :, nca + l - 1])[:, :, 0, :]
+                val = _g_combine(left, right, beta_left)
+            else:
+                val = jnp.broadcast_to(
+                    _f_combine(left, right), (B, L, seg))
+            if l < hp:
+                cold_alphas[l - 1] = val
+                S["src"] = S["src"].at[:, :, l - 1].set(ident)
+            else:
+                S["ahp"] = val
+
+        # ---- decode the block subtree -----------------------------------
+        bkey = walk(hp, phi0, "ahp")
+        beta_blk = S.pop(bkey)
+
+        # ---- propagate the block beta into the cold buffers -------------
+        phi_end = phi0 + n_blk - 1
+        slot = (phi_end >> (n - hp)) & 1
+        dest = _take_rows(cold_betas[hp - 1], S["src"][:, :, nca + hp - 1])
+        cold_betas[hp - 1] = dest.at[:, :, slot, :].set(beta_blk)
+        S["src"] = S["src"].at[:, :, nca + hp - 1].set(ident)
+        for l in range(hp, 1, -1):
+            if (phi_end + 1) & ((1 << (n - l + 1)) - 1):
+                break                # shallower levels complete even later
+            child = _take_rows(cold_betas[l - 1], S["src"][:, :, nca + l - 1])
+            left, right = child[:, :, 0, :], child[:, :, 1, :]
+            seg2 = jnp.concatenate(
+                [jnp.bitwise_xor(left, right), right], axis=-1)
+            slot = (phi_end >> (n - l + 1)) & 1
+            dest = _take_rows(cold_betas[l - 2], S["src"][:, :, nca + l - 2])
+            cold_betas[l - 2] = dest.at[:, :, slot, :].set(seg2)
+            S["src"] = S["src"].at[:, :, nca + l - 2].set(ident)
+
+    metric = S["metric"]
+    u = ((S["u"][..., None] >> jnp.arange(32, dtype=jnp.int32)) & 1
          ).astype(jnp.int32).reshape(B, L, n_words * 32)[..., :N]
 
     data = u[..., jnp.asarray(spec.data_pos)]
