@@ -68,7 +68,11 @@ def main() -> None:
     key = bytes.fromhex("aa" * 32)
     fs = 48_000
     T = int(3.5 * fs)
-    Tpad = 1 << 18
+    # honest padding: enough for a +5% time-stretched clip, NOT a power of
+    # two (the sync conv runs over every padded sample, so a 2**18 pad
+    # would waste ~30% of the dominant conv); 184320 = 2^12*3^2*5 keeps
+    # the recovery scan's rfft on a smooth size
+    Tpad = 184_320
     rng = np.random.default_rng(0)
 
     impair = {
@@ -132,6 +136,17 @@ def main() -> None:
     warm2 = np.zeros((B, Tpad), dtype=np.float32)
     warm2[:, :T] = base2[:, :T]
     bv2.verify_batch(jax.device_put(jax.numpy.asarray(warm2)), nv2)
+    # also warm the time-scale recovery ladder (scale-scan chunks, the
+    # bucketed resample retry, refine) so the timescale row measures
+    # steady-state serving, not one-time XLA compiles
+    warm3 = np.zeros((B, Tpad), dtype=np.float32)
+    nvw = nv2.copy()
+    for i in range(B):
+        y = channels.time_scale(base2[i].copy(), 1.031)
+        L = min(y.size, Tpad)
+        warm3[i, :L] = y[:L]
+        nvw[i] = L
+    bv2.verify_batch_recover(warm3, nvw)
     v2 = {}
     for name, f in impair.items():
         clips = np.zeros((B, Tpad), dtype=np.float32)

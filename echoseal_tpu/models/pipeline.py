@@ -496,10 +496,12 @@ class RobustBatchVerifier(BatchVerifier):
     def __init__(self, key32: bytes, *, fs: int = 48_000,
                  max_ctr: int = DEFAULT_MAX_CTR, peaks: int = 4,
                  list_size: int = 32, profile=None,
+                 table_dtype: str | None = None,
                  accept_legacy_plaintext: bool = False) -> None:
         from echoseal_tpu.core.profiles import ROBUST, profile_spec
         from echoseal_tpu.models.robust import (
             LAM_PROFILES,
+            resolve_table_dtype,
             robust_demod_matrix,
             robust_templates,
         )
@@ -521,7 +523,7 @@ class RobustBatchVerifier(BatchVerifier):
                       for lam in LAM_PROFILES])
             for lo, hi in BAND_PLAN
         ])
-        self._m_stack = jnp.asarray(m)
+        self._m_stack = jnp.asarray(m, dtype=resolve_table_dtype(table_dtype))
         self._pre_sy = jnp.asarray(bits_to_bpsk(mls63()))
         self._hdr_pn_sy = jnp.asarray(bits_to_bpsk(self.sec.pn_bits(0, HDR_L)))
         self._pn_table, self._hop_table = _key_tables(

@@ -52,6 +52,27 @@ MIN_CLIP_SECONDS = 3.0
 LAM_PROFILES = (1e-6, 1e-3)
 
 
+def resolve_table_dtype(table_dtype: str | None):
+    """Storage dtype for the (378 MB at S=8) v2 LS demod tables.
+
+    ``"bf16"`` halves the verifier's cold-start host->device upload --
+    the dominant cost of constructing a v2 verifier over a thin link --
+    and is the TPU default.  Compute is unaffected: the demod einsum
+    promotes the table back to float32 on device, so the only numerical
+    effect is the one-time ~0.4% relative quantisation of the table
+    entries, measured verdict-identical across the impairment corpus
+    (the v2 LS inversion is mild by design; the COMPAT tier keeps f32
+    everywhere because its exact inversion amplifies quantisation --
+    see ops/demod.py).
+    """
+    if table_dtype is None:
+        table_dtype = "bf16" if jax.default_backend() == "tpu" else "f32"
+    if table_dtype not in ("f32", "bf16"):
+        raise ValueError(f"table_dtype must be 'f32' or 'bf16', "
+                         f"got {table_dtype!r}")
+    return jnp.bfloat16 if table_dtype == "bf16" else jnp.float32
+
+
 # --------------------------------------------------------------- host model
 @lru_cache(maxsize=32)
 def _chip_pulse(lo: float, hi: float, fs: int, S: int, span: int) -> np.ndarray:
@@ -306,6 +327,7 @@ class RobustVerifier:
                  list_size: int | None = None,
                  profile: WaveformProfile = ROBUST,
                  timescale_grid: tuple[float, ...] | None = None,
+                 table_dtype: str | None = None,
                  params=None) -> None:
         # RxParams may supply list_size / timescale_grid defaults (explicit
         # kwargs win); the compat detector reads the same container, so one
@@ -336,7 +358,7 @@ class RobustVerifier:
                       for lam in LAM_PROFILES])
             for lo, hi in BAND_PLAN
         ])
-        self._m_stack = jnp.asarray(m)
+        self._m_stack = jnp.asarray(m, dtype=resolve_table_dtype(table_dtype))
         self._pre_sy = jnp.asarray(bits_to_bpsk(mls63()))
         self._hdr_pn_sy = jnp.asarray(bits_to_bpsk(self.sec.pn_bits(0, HDR_L)))
 

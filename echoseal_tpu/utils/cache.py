@@ -16,7 +16,18 @@ import os
 
 
 def persistent_cache_dir(base: str = "/tmp/echoseal_jax_cache") -> str:
-    """``base`` suffixed with a host-CPU-feature + JAX-version hash."""
+    """``base`` suffixed with a host-CPU-feature + XLA-config hash.
+
+    Besides the CPU flags and JAX version, the key includes XLA_FLAGS and
+    JAX_PLATFORMS: XLA:CPU bakes configuration-dependent target features
+    into AOT artifacts (observed: artifacts compiled under the test
+    harness's ``--xla_force_host_platform_device_count=8`` carry
+    ``+prefer-no-scatter,+prefer-no-gather`` and loading them from a
+    plain single-device process -- or vice versa -- logs a machine-
+    feature mismatch and can mis-execute gather/scatter ops, which once
+    flipped a batch-verifier verdict mid-suite).  Separate configs must
+    not share artifact directories.
+    """
     feat = ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -26,6 +37,8 @@ def persistent_cache_dir(base: str = "/tmp/echoseal_jax_cache") -> str:
                     break
     except OSError:
         feat = os.uname().machine
+    feat += "|" + os.environ.get("XLA_FLAGS", "")
+    feat += "|" + os.environ.get("JAX_PLATFORMS", "")
     try:
         import jax
 
