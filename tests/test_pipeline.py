@@ -114,6 +114,25 @@ def test_robust_batch_verifier(key32, v2_batch):
     assert full.tolist() == [True, True, True, False]
 
 
+def test_bf16_table_storage_verdict_parity(key32, v2_batch):
+    """bf16-stored demod tables give identical verdicts to f32.
+
+    ``table_dtype="bf16"`` (the TPU default) halves the ~378 MB verifier
+    cold-start upload; the demod einsum promotes the table back to f32
+    on device, so the only numerical effect is the one-time table
+    quantisation.  This pins the knob as load-bearing AND verdict-safe:
+    the full 4-row corpus (clean loud host / MP3-sim / AWGN / no-wm)
+    must agree row for row with the f32 verifier, including the
+    no-watermark rejection.
+    """
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    clips, nv = v2_batch
+    v16 = RobustBatchVerifier(key32, max_ctr=4096,
+                              table_dtype="bf16").verify_batch(clips, nv)
+    assert v16.tolist() == [True, True, True, False]
+
+
 def test_robust_batch_timescale_recovery(key32, v2_batch):
     """Batched +-5% playback-speed recovery with no caller hint.
 
