@@ -83,8 +83,9 @@ def main() -> None:
 
         @jax.jit
         def stage(stream, starts):
-            idx = starts[:, None] + jnp.arange(T)
-            clips = jnp.take(stream, idx) * scale
+            from echoseal_tpu.ops.demod import slice_windows
+
+            clips = slice_windows(stream, starts, T) * scale
             return jnp.pad(clips, ((0, 0), (0, Tpad - T)))
 
         return stage(stream, jnp.asarray(starts.astype(np.int32)))

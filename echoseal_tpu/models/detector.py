@@ -145,10 +145,8 @@ def _scan_stage(
     s_flat = starts.reshape(4, -1)                        # (4, K*O)
     s_d = jnp.clip(s_flat, 0, T - demod.W_DIRECT)
     s_c = jnp.clip(s_flat, 0, T - demod.W_CASCADE)
-    w_idx_d = s_d[..., None] + jnp.arange(demod.W_DIRECT)[None, None, :]
-    w_idx_c = s_c[..., None] + jnp.arange(demod.W_CASCADE)[None, None, :]
-    win_d = x[w_idx_d]                                    # (4, K*O, Wd)
-    win_c = jnp.take_along_axis(yf[:, None, :], w_idx_c, axis=-1)
+    win_d = demod.slice_windows(x, s_d, demod.W_DIRECT)   # (4, K*O, Wd)
+    win_c = demod.slice_windows(yf, s_c, demod.W_CASCADE)
 
     # unit-RMS windows: keeps the f32 demod matmul rounding at ~1e-4 of the
     # chip amplitude even for the lam=1e-12 exact-inversion profile.

@@ -81,16 +81,14 @@ def _batch_verify_stage(
     valid = jnp.isfinite(val)
 
     # ---- windows at offsets --------------------------------------------
-    # ONE wide gather per peak; the +-2 alignment offsets come from static
-    # slices of it (5x less gather traffic than per-offset windows)
+    # ONE wide window per peak (slice-granular gather rows, not elements
+    # -- see demod.slice_windows); the +-2 alignment offsets come from
+    # static slices of it
     offs = np.asarray(demod.SYNC_OFFSETS)
     span = int(offs.max() - offs.min())
     wide_w = demod.W_DIRECT + span
     s0 = jnp.clip(idx + int(offs.min()), 0, T - wide_w)     # (B, 4, P)
-    widx = s0[..., None] + jnp.arange(wide_w)
-    wide = jnp.take_along_axis(x[:, None, None, :],
-                               widx.reshape(B, 1, 1, -1), axis=-1)
-    wide = wide.reshape(B, 4, -1, wide_w)                   # (B,4,P,wide)
+    wide = demod.slice_windows(x, s0, wide_w)               # (B,4,P,wide)
     win = jnp.stack([wide[..., o : o + demod.W_DIRECT]
                      for o in range(span + 1)], axis=3)     # (B,4,P,O,W)
     win = win.reshape(B, 4, -1, demod.W_DIRECT)             # (B,4,P*O,W)
@@ -235,10 +233,7 @@ def _batch_verify_stage_v2(
     valid = jnp.isfinite(val)
 
     starts = jnp.clip(idx, 0, T - span)
-    widx = starts[..., None] + jnp.arange(span)             # (B, 4, K, span)
-    win = jnp.take_along_axis(x[:, None, None, :],
-                              widx.reshape(B, 1, 1, -1), axis=-1)
-    win = win.reshape(B, 4, peaks, span)
+    win = demod.slice_windows(x, starts, span)              # (B, 4, K, span)
     win = win * jax.lax.rsqrt(jnp.mean(win * win, -1, keepdims=True) + 1e-30)
 
     chips = jnp.einsum("bfkw,fpcw->bfpkc", win, m_stack,

@@ -308,8 +308,7 @@ def _robust_scan(x, n_valid, templates, m_stack, hdr_pn_sy, pre_sy,
     idx, val = demod.topk_nms(corr, peaks, span // 2)        # (4, K)
 
     starts = jnp.clip(idx, 0, T - span)
-    widx = starts[..., None] + jnp.arange(span)
-    win = x[widx]                                            # (4, K, span)
+    win = demod.slice_windows(x, starts, span)               # (4, K, span)
     win = win * jax.lax.rsqrt(jnp.mean(win * win, -1, keepdims=True) + 1e-30)
 
     chips = jnp.einsum("bnw,bpkw->bpnk", win, m_stack,

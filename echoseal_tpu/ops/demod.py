@@ -164,6 +164,37 @@ def sync_templates(fs: int) -> np.ndarray:
 # ======================================================================
 # device-side pipeline pieces (pure, jittable)
 # ======================================================================
+def slice_windows(x: jnp.ndarray, starts: jnp.ndarray,
+                  span: int) -> jnp.ndarray:
+    """Contiguous windows ``x[..., s : s + span]`` for a start lattice.
+
+    ``x``: (T,) or (B, T); ``starts``: int32 with a leading B axis when
+    ``x`` is 2-D.  Returns ``starts.shape + (span,)``.  Starts are
+    clamped to ``[0, T - span]`` (``dynamic_slice`` semantics).
+
+    Formulation matters on TPU: a ``take_along_axis`` over a per-sample
+    index lattice is a gather of individual ELEMENTS, paying the
+    backend's fixed per-row-op cost once per sample (~1.07 s for 256
+    clips x 16 windows x 9720 samples -- 87% of the whole v2 serving
+    stage).  A vmapped ``dynamic_slice`` lowers to ONE gather HLO whose
+    slice size is the whole window, so the fixed cost is paid per
+    WINDOW instead: 42 ms for the same lattice, bit-identical output
+    (measured on chip, round 3).
+    """
+    starts = starts.astype(jnp.int32)
+    if x.ndim == 1:
+        flat = starts.reshape(-1)
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(x, (s,), (span,)))(flat)
+        return win.reshape(*starts.shape, span)
+
+    def per_row(xi, si):
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(xi, (s,), (span,)))(si)
+
+    flat = starts.reshape(x.shape[0], -1)
+    win = jax.vmap(per_row)(x, flat)
+    return win.reshape(*starts.shape, span)
 def normalized_xcorr(x: jnp.ndarray, templates: jnp.ndarray,
                      compute_dtype=None) -> jnp.ndarray:
     """Sliding cosine similarity of ``x`` (..., T) vs (B, L) templates.
