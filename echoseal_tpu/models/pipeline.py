@@ -145,9 +145,11 @@ def _batch_verify_stage(
     pow2 = (2 ** jnp.arange(7, -1, -1, dtype=jnp.int32))
     blob = jnp.sum(sel_info.reshape(B, -1, 8) * pow2, axis=-1).astype(
         jnp.uint8)                                          # (B, 55)
+    host_packed = _pack_host_row(sel_ok, sel_ctr, blob)
 
     return dict(
         ok=sel_ok, blob=blob, blob_ctr=sel_ctr,
+        host_packed=host_packed,   # (B, 60) -- ONE host download
         crc_ok=crc_ok,             # (B, 4, P)
         info_bits=info,            # (B, 4, P, 440)
         ctr=ctr,                   # (B, 4, P)
@@ -175,6 +177,20 @@ def _key_tables(sec: SecureChannel, hop, max_ctr: int):
     pn = sec.pn_bits_batch(ctrs, FRAME_LEN)[:, PRE_L + HDR_L :]
     return (jnp.asarray(pn.astype(np.int8)),
             jnp.asarray(hop.indices(ctrs).astype(np.int32)))
+
+
+def _pack_host_row(sel_ok, sel_ctr, blob):
+    """(B,) ok + (B,) int32 ctr + (B, 55) blob -> ONE (B, 60) uint8 row.
+
+    The host verdict needs three tiny per-clip outputs; downloading them
+    separately pays the tunneled backend's round-trip latency three
+    times per batch.  Byte layout: ok(1) | ctr big-endian(4) | blob(55).
+    """
+    ctr_bytes = jnp.stack(
+        [(sel_ctr >> s) & 0xFF for s in (24, 16, 8, 0)],
+        axis=-1).astype(jnp.uint8)
+    return jnp.concatenate(
+        [sel_ok.astype(jnp.uint8)[:, None], ctr_bytes, blob], axis=1)
 
 
 def _resolve_counters(hdr_ok, lo16, ctr_est, hop_table, band_ids, max_ctr):
@@ -262,6 +278,7 @@ def _batch_verify_stage_v2(
     pow2 = (2 ** jnp.arange(7, -1, -1, dtype=jnp.int32))
     blob = jnp.sum(sel_info.reshape(B, -1, 8) * pow2, axis=-1).astype(
         jnp.uint8)
+    host_packed = _pack_host_row(sel_ok, sel_ctr, blob)
 
     # per-clip top-R soft rows (highest mean |LLR| among plausible rows)
     # for the SCL fallback -- (B, R, 1024) + counters, ~16 KB/clip to host.
@@ -277,6 +294,7 @@ def _batch_verify_stage_v2(
 
     return dict(
         ok=sel_ok, blob=blob, blob_ctr=sel_ctr,
+        host_packed=host_packed,
         scl_llr=scl_llr, scl_ctr=scl_ctr,
         crc_ok=crc_ok, ctr=ctr,
         peak_idx=idx, peak_val=val,
@@ -435,9 +453,11 @@ class BatchVerifier:
         multi-tenant serving, but callers wanting the reference detector's
         replay protection must use one of the two hooks.
         """
-        ok = np.asarray(out["ok"])
-        blobs = np.asarray(out["blob"])
-        ctrs = np.asarray(out["blob_ctr"])
+        packed = np.asarray(out["host_packed"]).astype(np.int64)
+        ok = packed[:, 0] > 0
+        ctrs = ((packed[:, 1] << 24) | (packed[:, 2] << 16)
+                | (packed[:, 3] << 8) | packed[:, 4])
+        blobs = packed[:, 5:].astype(np.uint8)
         verdicts = np.zeros(ok.shape[0], dtype=bool)
         nonces: list[bytes | None] = [None] * ok.shape[0]
         for i in np.flatnonzero(ok):

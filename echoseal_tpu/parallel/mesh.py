@@ -59,6 +59,7 @@ def shard_verify(verifier, mesh: Mesh):
         in_specs=(P(STREAM_AXIS), P(STREAM_AXIS)),
         out_specs=dict(
             ok=P(STREAM_AXIS), blob=P(STREAM_AXIS), blob_ctr=P(STREAM_AXIS),
+            host_packed=P(STREAM_AXIS),
             crc_ok=P(STREAM_AXIS), info_bits=P(STREAM_AXIS),
             ctr=P(STREAM_AXIS), peak_idx=P(STREAM_AXIS),
             peak_val=P(STREAM_AXIS), pre_score=P(STREAM_AXIS),
