@@ -384,8 +384,11 @@ class BatchVerifier:
         if n_mult <= 0:
             return rescued
         B = mask.shape[0]
-        hdr_ok = np.asarray(out["hdr_ok"]).reshape(B, 4, -1)
-        lo16 = np.asarray(out["hdr_lo16"]).reshape(B, 4, -1)
+        # one download: readable headers as lo16, unreadable as -1
+        lo16_or = np.asarray(jnp.where(out["hdr_ok"],
+                                       out["hdr_lo16"], -1)).reshape(B, 4, -1)
+        hdr_ok = lo16_or >= 0
+        lo16 = lo16_or
         rows: list[tuple[int, int, int, int]] = []   # (clip, band, cand, ctr)
         for i in np.flatnonzero(mask):
             for b in range(4):
@@ -697,14 +700,14 @@ class RobustBatchVerifier(BatchVerifier):
             verdicts[i] |= vr[r]
 
         if refine:
-            peak_idx = np.asarray(out["peak_idx"])
-            peak_val = np.asarray(out["peak_val"])
+            # one download: invalid peaks already masked to -1 on device
+            peaks_all = np.asarray(jnp.where(jnp.isfinite(out["peak_val"]),
+                                             out["peak_idx"], -1))
             nxt: dict[int, float] = {}
             for r, i in enumerate(sel):
                 if verdicts[i]:
                     continue
-                peaks = np.where(np.isfinite(peak_val[r]), peak_idx[r], -1)
-                fine = estimate_timescale_from_peaks(peaks, self.span)
+                fine = estimate_timescale_from_peaks(peaks_all[r], self.span)
                 if fine is not None and abs(fine - 1.0) > 1e-4:
                     nxt[i] = factors[i] * fine
             verdicts = self._retry_scaled(clips, n_valid, nxt, verdicts,
@@ -722,8 +725,19 @@ class RobustBatchVerifier(BatchVerifier):
         if clips_f.size == 0:
             return rescued
         R = out["scl_llr"].shape[1]
-        llr = np.asarray(out["scl_llr"])[clips_f].reshape(-1, 1024)
-        ctrs = np.asarray(out["scl_ctr"])[clips_f].reshape(-1)
+        # gather the failing clips' soft rows ON DEVICE and ship LLRs +
+        # counters as ONE download (bitcast ctr column): every separate
+        # small download pays the tunneled backend's round-trip latency
+        idx = jnp.asarray(clips_f.astype(np.int32))
+        packed = jnp.concatenate(
+            [out["scl_llr"][idx],
+             jax.lax.bitcast_convert_type(
+                 out["scl_ctr"][idx].astype(jnp.int32),
+                 jnp.float32)[..., None]], axis=-1)
+        host = np.asarray(packed)                 # (F, R, 1025)
+        llr = host[..., :1024].reshape(-1, 1024)
+        ctrs = np.ascontiguousarray(host[..., 1024]).view(
+            np.int32).reshape(-1)
         from echoseal_tpu.models.detector import _cand_bucket
 
         n_rows = llr.shape[0]
