@@ -170,7 +170,9 @@ def slice_windows(x: jnp.ndarray, starts: jnp.ndarray,
 
     ``x``: (T,) or (B, T); ``starts``: int32 with a leading B axis when
     ``x`` is 2-D.  Returns ``starts.shape + (span,)``.  Starts are
-    clamped to ``[0, T - span]`` (``dynamic_slice`` semantics).
+    clamped to ``[0, T - span]`` explicitly -- ``dynamic_slice`` alone
+    clamps the upper bound but wraps NEGATIVE starts through the
+    unsigned range on this backend (observed: -9 landed at T - span).
 
     Formulation matters on TPU: a ``take_along_axis`` over a per-sample
     index lattice is a gather of individual ELEMENTS, paying the
@@ -181,7 +183,7 @@ def slice_windows(x: jnp.ndarray, starts: jnp.ndarray,
     WINDOW instead: 42 ms for the same lattice, bit-identical output
     (measured on chip, round 3).
     """
-    starts = starts.astype(jnp.int32)
+    starts = jnp.clip(starts.astype(jnp.int32), 0, x.shape[-1] - span)
     if x.ndim == 1:
         flat = starts.reshape(-1)
         win = jax.vmap(

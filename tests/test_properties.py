@@ -54,3 +54,39 @@ def test_pn_prefix_consistency(ctr, n):
 def test_header_bits_scalar_batch_agree(ctr):
     np.testing.assert_array_equal(
         header_bits(ctr), header_bits_batch(np.array([ctr]))[0])
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_slice_windows_matches_numpy(seed):
+    """Window extraction equals numpy slicing, including the start clamp.
+
+    ``demod.slice_windows`` is the production formulation (slice-granular
+    gather rows -- 25x the per-sample index-lattice gather on TPU); its
+    contract is plain ``x[s : s + span]`` with starts clamped to
+    ``[0, T - span]``, for both the (T,) and (B, T) source layouts.
+    """
+    import jax.numpy as jnp
+
+    from echoseal_tpu.ops import demod
+
+    rng = np.random.default_rng(seed)
+    B, T, span = 3, 257, 31
+    x = rng.standard_normal((B, T)).astype(np.float32)
+    # starts deliberately include out-of-range values to pin the clamp
+    starts = rng.integers(-10, T + 10, size=(B, 2, 4)).astype(np.int32)
+    got = np.asarray(demod.slice_windows(jnp.asarray(x),
+                                         jnp.asarray(starts), span))
+    clamped = np.clip(starts, 0, T - span)
+    for b in range(B):
+        for i in range(2):
+            for k in range(4):
+                s = clamped[b, i, k]
+                np.testing.assert_array_equal(got[b, i, k], x[b, s : s + span])
+    # 1-D source path
+    got1 = np.asarray(demod.slice_windows(jnp.asarray(x[0]),
+                                          jnp.asarray(starts[0]), span))
+    for i in range(2):
+        for k in range(4):
+            s = clamped[0, i, k]
+            np.testing.assert_array_equal(got1[i, k], x[0, s : s + span])
