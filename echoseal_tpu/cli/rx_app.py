@@ -45,14 +45,28 @@ def main(argv=None) -> int:
         from echoseal_tpu.models.detector import resample_to
         from echoseal_tpu.models.monitor import BatchStreamMonitor, StreamMonitor
 
+        # build the (expensive: ~378 MB of demod tables) batch verifier
+        # ONCE and share it across per-file monitors; honor --list-size
+        shared_bv = None
+        if args.batch:
+            if args.profile == "v2":
+                from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+                shared_bv = RobustBatchVerifier(key,
+                                                list_size=args.list_size)
+            else:
+                from echoseal_tpu.models.pipeline import BatchVerifier
+
+                shared_bv = BatchVerifier(key)
         rc = 0
         for path in args.audio:
             data, fs = wavio.read(path)
             data = resample_to(48_000, data, fs)
             if args.batch:
-                # serving-tier monitor: all windows of the file verified in
-                # one device dispatch (no per-window stage/ctr detail)
-                mon = BatchStreamMonitor(key, profile=args.profile)
+                # serving-tier monitor: windows verified in chunked batch
+                # dispatches (no per-window stage/ctr detail)
+                mon = BatchStreamMonitor(key, profile=args.profile,
+                                         verifier=shared_bv)
             else:
                 mon = StreamMonitor(key, profile=args.profile,
                                     list_size=args.list_size)
@@ -81,7 +95,10 @@ def main(argv=None) -> int:
             clips.append(data)
             lens.append(data.size)
         T = max(lens)
-        Tpad = 1 << max(17, (T - 1).bit_length())
+        # margin pad rounded to a 16384 bucket: compile-stable across runs
+        # with similar-length files without the ~2x conv waste a
+        # power-of-two pad costs (the sync conv runs over every sample)
+        Tpad = (T + 2 * 16384 - 1) & ~(16384 - 1)
         batch = np.zeros((len(clips), Tpad), dtype=np.float32)
         for i, c in enumerate(clips):
             batch[i, : c.size] = c

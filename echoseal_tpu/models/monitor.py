@@ -148,7 +148,10 @@ class BatchStreamMonitor:
             from echoseal_tpu.models.pipeline import BatchVerifier
 
             self._bv = BatchVerifier(key32, fs=fs)
-        self._tpad = 1 << max(17, (self.window - 1).bit_length())
+        # honest fixed pad (window + sync margin), NOT a power of two: the
+        # sync conv runs over every padded sample, and the window size is
+        # fixed per monitor, so any fixed pad keeps one compile
+        self._tpad = self.window + 16384
         self._buf = np.zeros(0, dtype=np.float32)
         self._pos = 0
 
@@ -178,24 +181,33 @@ class BatchStreamMonitor:
         return ev
 
     # ------------------------------------------------------------ internals
+    MAX_ROWS = 128     # per-dispatch cap: one feed() over a long recording
+    # must not build an unbounded batch (a 1 h file is ~1800 windows --
+    # the sync-corr intermediate alone would exceed device memory)
+
     def _verify_windows(self, wins, starts) -> list[MonitorEvent]:
         if not wins:
             return []
-        rows = 4
-        while rows < len(wins):        # power-of-two bucket: stable compiles
-            rows <<= 1
-        batch = np.zeros((rows, self._tpad), np.float32)
-        nv = np.zeros(rows, np.int32)
-        for i, w in enumerate(wins):
-            batch[i, : w.size] = w
-            nv[i] = w.size
-        verdicts = self._bv.verify_batch(
-            batch, nv, expected_nonce=self.expected_nonce)
-        return [
-            MonitorEvent(
-                t_start=s / self.fs,
-                t_end=(s + w.size) / self.fs,
-                result=VerifyResult(bool(verdicts[i]), stage="batch"),
+        events: list[MonitorEvent] = []
+        for c0 in range(0, len(wins), self.MAX_ROWS):
+            wchunk = wins[c0 : c0 + self.MAX_ROWS]
+            schunk = starts[c0 : c0 + self.MAX_ROWS]
+            rows = 4
+            while rows < len(wchunk):  # power-of-two bucket: stable compiles
+                rows <<= 1
+            batch = np.zeros((rows, self._tpad), np.float32)
+            nv = np.zeros(rows, np.int32)
+            for i, w in enumerate(wchunk):
+                batch[i, : w.size] = w
+                nv[i] = w.size
+            verdicts = self._bv.verify_batch(
+                batch, nv, expected_nonce=self.expected_nonce)
+            events.extend(
+                MonitorEvent(
+                    t_start=s / self.fs,
+                    t_end=(s + w.size) / self.fs,
+                    result=VerifyResult(bool(verdicts[i]), stage="batch"),
+                )
+                for i, (w, s) in enumerate(zip(wchunk, schunk))
             )
-            for i, (w, s) in enumerate(zip(wins, starts))
-        ]
+        return events

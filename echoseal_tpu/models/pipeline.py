@@ -726,18 +726,19 @@ class RobustBatchVerifier(BatchVerifier):
             return rescued
         R = out["scl_llr"].shape[1]
         # gather the failing clips' soft rows ON DEVICE and ship LLRs +
-        # counters as ONE download (bitcast ctr column): every separate
-        # small download pays the tunneled backend's round-trip latency
+        # counters as ONE download: every separate download pays the
+        # tunneled backend's round-trip latency.  The shared dtype is
+        # int32 (LLRs bitcast), never float: small counters bitcast to
+        # f32 are subnormals, which a canonicalizing transfer/fusion
+        # step could silently flush to zero.
         idx = jnp.asarray(clips_f.astype(np.int32))
         packed = jnp.concatenate(
-            [out["scl_llr"][idx],
-             jax.lax.bitcast_convert_type(
-                 out["scl_ctr"][idx].astype(jnp.int32),
-                 jnp.float32)[..., None]], axis=-1)
-        host = np.asarray(packed)                 # (F, R, 1025)
-        llr = host[..., :1024].reshape(-1, 1024)
-        ctrs = np.ascontiguousarray(host[..., 1024]).view(
-            np.int32).reshape(-1)
+            [jax.lax.bitcast_convert_type(out["scl_llr"][idx], jnp.int32),
+             out["scl_ctr"][idx].astype(jnp.int32)[..., None]], axis=-1)
+        host = np.asarray(packed)                 # (F, R, 1025) int32
+        llr = np.ascontiguousarray(host[..., :1024]).view(
+            np.float32).reshape(-1, 1024)
+        ctrs = host[..., 1024].reshape(-1)
         from echoseal_tpu.models.detector import _cand_bucket
 
         n_rows = llr.shape[0]

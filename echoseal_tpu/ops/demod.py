@@ -197,6 +197,8 @@ def slice_windows(x: jnp.ndarray, starts: jnp.ndarray,
     flat = starts.reshape(x.shape[0], -1)
     win = jax.vmap(per_row)(x, flat)
     return win.reshape(*starts.shape, span)
+
+
 def normalized_xcorr(x: jnp.ndarray, templates: jnp.ndarray,
                      compute_dtype=None) -> jnp.ndarray:
     """Sliding cosine similarity of ``x`` (..., T) vs (B, L) templates.

@@ -202,20 +202,25 @@ def _take_rows(arr: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
 def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
     """List-decode a batch of LLR vectors (backend-dispatched).
 
-    Two production formulations (identical results, measured parity tests
-    in tests/test_scl_proof.py):
+    Production formulations (identical results, measured parity tests in
+    tests/test_scl_proof.py):
 
-    * ``_scl_decode_blocked`` -- TPU default.  Two-level scan: the cold
-      shallow-level buffers (~370 MB at B=128 L=256) leave the inner scan
-      entirely, eliminating the per-leaf ``lax.cond`` carry copies that
-      dominated the flat formulation (measured on chip: 2.18 ms/leaf of
-      which only ~0.27 ms was gathers+top_k+deep dataflow).
+    * ``_scl_decode_unrolled`` -- TPU default.  Statically-unrolled
+      fast-list decode: frozen leaves skip the fork machinery, aligned
+      rate-0 / repetition subtrees collapse to exact node-level
+      shortcuts (~766 SCL-256 decodes/s/chip at B=128; one-time compile
+      ~320 s per process).
     * ``_scl_decode_lazy`` -- CPU default.  Flat scan with per-level source
       index maps; XLA:CPU branches conditionals for real, so the cond
       copies never happen there, and its narrow deep tier avoids the
-      full-array copies XLA:CPU makes of in-scan slice updates.
+      full-array copies XLA:CPU makes of in-scan slice updates.  Also
+      the compile-cheap choice (~5x faster to compile than unrolled).
+    * ``_scl_decode_blocked`` -- two-level scan (cold shallow buffers
+      leave the inner loop); kept for compile-time-sensitive TPU paths.
 
-    Override with ECHOSEAL_SCL_IMPL in {"blocked", "lazy", "dense"}.
+    Override with ECHOSEAL_SCL_IMPL in {"unrolled", "blocked", "lazy",
+    "dense"}; any other value raises (a typo must not silently run the
+    ~13x-slower scan formulation on TPU).
 
     Args:
       llr: (B, N) float32, positive favours bit 1.
@@ -238,6 +243,10 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
         return _scl_decode_blocked(llr, spec, int(list_size), block_seg)
     if impl == "dense":
         return _scl_decode_dense(llr, spec, int(list_size))
+    if impl != "lazy":
+        raise ValueError(
+            f"ECHOSEAL_SCL_IMPL={impl!r}: expected one of "
+            "'unrolled', 'blocked', 'lazy', 'dense'")
     return _scl_decode_lazy(llr, spec, int(list_size))
 
 
