@@ -128,3 +128,36 @@ def test_batch_monitor_serving_tier(key32):
                               window_s=4.0, hop_s=2.0)
     ev3 = mon3.feed(wm[: 6 * FS]) + mon3.flush()
     assert ev3 and not any(ev.result.authentic for ev in ev3)
+
+
+def test_batch_monitor_chunked_dispatch(key32, monkeypatch):
+    """One feed() over many windows is split at MAX_ROWS per dispatch.
+
+    A long recording fed in one call must not build an unbounded batch
+    (a 1 h file is ~1800 windows -- the sync-corr intermediate alone
+    would exceed device memory).  With MAX_ROWS forced to 2, a 4-window
+    feed (2 chunked dispatches, reusing the shared verifier) must return
+    the same per-window verdicts and timestamps as the unchunked path.
+    """
+    from echoseal_tpu.models.monitor import BatchStreamMonitor
+    from echoseal_tpu.models.robust import RobustEmbedder
+
+    tx = RobustEmbedder(key32)
+    tx._session_nonce = b"monitorC"
+    host = (0.1 * np.sin(2 * np.pi * 700 * np.arange(10 * FS) / FS)
+            ).astype(np.float32)
+    wm = tx.process(host)
+
+    mon_ref = BatchStreamMonitor(key32, window_s=4.0, hop_s=2.0)
+    ref = mon_ref.feed(wm) + mon_ref.flush()
+
+    monkeypatch.setattr(BatchStreamMonitor, "MAX_ROWS", 2)
+    mon = BatchStreamMonitor(key32, window_s=4.0, hop_s=2.0,
+                             verifier=mon_ref._bv)
+    got = mon.feed(wm) + mon.flush()
+
+    assert len(got) == len(ref) >= 4
+    assert [e.result.authentic for e in got] == \
+        [e.result.authentic for e in ref]
+    assert [e.t_start for e in got] == [e.t_start for e in ref]
+    assert all(e.result.authentic for e in got)
