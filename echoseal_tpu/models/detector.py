@@ -57,6 +57,7 @@ from echoseal_tpu.ops import demod, filters
 from echoseal_tpu.ops.polar import hard_decode_batch, pack_info_bits, polar_spec
 from echoseal_tpu.ops.scl import scl_decode
 from echoseal_tpu.utils.logging import Timer, get_logger
+from echoseal_tpu.utils.transfer import host_fetch
 
 MIN_CLIP_SECONDS = 3.0
 N_OFFSETS = len(demod.SYNC_OFFSETS)
@@ -271,7 +272,7 @@ class WatermarkDetector:
                 self._m_direct, self._m_cascade, self._t_fwd, self._pre_sy,
                 self._hdr_pn_sy, peak_limit=self.p.peak_limit,
             )
-            out = {k: np.asarray(v) for k, v in out.items()}
+            out = host_fetch(out)   # ONE download for the stage dict
         _LOG.event("scan", T=T, n_peaks=int(out["peak_valid"].sum()),
                    thr=np.round(out["corr_thr"], 3).tolist())
 
@@ -389,11 +390,9 @@ class WatermarkDetector:
             chips_in, pn_in = chips, pn_sy
 
         with Timer("rx.llr_stage"):
-            llr, info, crc_ok = _llr_stage(jnp.asarray(chips_in),
-                                           jnp.asarray(pn_in))
-            llr = np.asarray(llr)[:n_cand]
-            info = np.asarray(info)[:n_cand]
-            crc_ok = np.asarray(crc_ok)[:n_cand]
+            llr, info, crc_ok = host_fetch(_llr_stage(
+                jnp.asarray(chips_in), jnp.asarray(pn_in)))
+            llr, info, crc_ok = llr[:n_cand], info[:n_cand], crc_ok[:n_cand]
         _LOG.event("llr", n_cand=n_cand, n_hard_crc=int(crc_ok.sum()))
 
         # ------------------- hard-decision fast path ----------------------
@@ -424,13 +423,13 @@ class WatermarkDetector:
                                       np.float32)])
         else:
             chips_soft_in = chips_soft
-        llr_s, info_s, crc_ok_s = _llr_stage(jnp.asarray(chips_soft_in),
-                                             jnp.asarray(pn_in))
-        llr = np.asarray(llr_s)[:n_cand]
+        llr_s, info_s, crc_ok_s = host_fetch(_llr_stage(
+            jnp.asarray(chips_soft_in), jnp.asarray(pn_in)))
+        llr = llr_s[:n_cand]
         # free extra hard pass over the raw chips (different rounding than
         # the refined pass; occasionally rescues a clean frame on its own)
-        info_s = np.asarray(info_s)[:n_cand]
-        for i in np.flatnonzero(np.asarray(crc_ok_s)[:n_cand]):
+        info_s = info_s[:n_cand]
+        for i in np.flatnonzero(crc_ok_s[:n_cand]):
             res = self._accept(info_s[i], int(ctrs[i]))
             if res is not None:
                 return VerifyResult(True, frame_ctr=int(ctrs[i]),

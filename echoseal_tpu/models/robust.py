@@ -43,6 +43,7 @@ from echoseal_tpu.ops import demod, filters
 from echoseal_tpu.ops.polar import encode_np, hard_decode_batch, pack_info_bits
 from echoseal_tpu.ops.scl import scl_decode
 from echoseal_tpu.utils.logging import get_logger
+from echoseal_tpu.utils.transfer import host_fetch
 
 _LOG = get_logger("rx.v2")
 
@@ -466,7 +467,7 @@ class RobustVerifier:
         out = _robust_scan(jnp.asarray(x), jnp.int32(T), self._templates,
                            self._m_stack, self._hdr_pn_sy, self._pre_sy,
                            span=span)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        out = host_fetch(out)   # ONE download for the whole stage dict
         peaks = np.where(np.isfinite(out["peak_val"]), out["peak_idx"], -1)
 
         nb, npf, nk, _ = out["chips"].shape
@@ -497,11 +498,12 @@ class RobustVerifier:
         pn = self.sec.pn_bits_batch(uniq, FRAME_LEN)[:, PRE_L + HDR_L :]
         pn_sy = 2.0 * pn[inv].astype(np.float32) - 1.0
 
-        llr = np.asarray(demod.payload_llr(jnp.asarray(chips),
-                                           jnp.asarray(pn_sy)))
-        info, crc_ok = hard_decode_batch(jnp.asarray(llr), self._spec)
-        info = np.asarray(info)
-        for i in np.flatnonzero(np.asarray(crc_ok)):
+        llr_dev = demod.payload_llr(jnp.asarray(chips), jnp.asarray(pn_sy))
+        info_dev, crc_dev = hard_decode_batch(llr_dev, self._spec)
+        # one download (llr feeds the SCL selection below; keeping it on
+        # device and re-fetching per stage would pay the link RTT thrice)
+        llr, info, crc_ok = host_fetch((llr_dev, info_dev, crc_dev))
+        for i in np.flatnonzero(crc_ok):
             if self._accept(info[i], int(ctrs[i])):
                 return VerifyResult(True, frame_ctr=int(ctrs[i]),
                                     band=BAND_PLAN[bands[i]],
@@ -514,8 +516,7 @@ class RobustVerifier:
         quality = np.mean(np.abs(llr), axis=-1)
         sel = np.argsort(-quality, kind="stable")[:32]
         res = scl_decode(jnp.asarray(llr[sel]), self._spec, self._list_size)
-        ok = np.asarray(res["crc_ok"])
-        bits = np.asarray(res["info_bits"])
+        ok, bits = host_fetch((res["crc_ok"], res["info_bits"]))
         for rloc, r in enumerate(sel):
             for li in np.flatnonzero(ok[rloc]):
                 if self._accept(bits[rloc, li], int(ctrs[r])):
