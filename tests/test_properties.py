@@ -90,3 +90,31 @@ def test_slice_windows_matches_numpy(seed):
         for k in range(4):
             s = clamped[0, i, k]
             np.testing.assert_array_equal(got1[i, k], x[0, s : s + span])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_host_fetch_roundtrip(seed):
+    """host_fetch returns every leaf bit-exactly (f32 bitcast, bool, i32).
+
+    The helper exists because each separate device->host download pays
+    the thin link's round-trip latency; its contract is a lossless
+    single-buffer fetch of a mixed-dtype pytree.
+    """
+    import jax.numpy as jnp
+
+    from echoseal_tpu.utils.transfer import host_fetch
+
+    rng = np.random.default_rng(seed)
+    tree = {
+        "f": jnp.asarray(rng.standard_normal((3, 5)).astype(np.float32)),
+        "i": jnp.asarray(rng.integers(-2**31, 2**31 - 1, size=(2, 7),
+                                      dtype=np.int64).astype(np.int32)),
+        "b": jnp.asarray(rng.integers(0, 2, size=(4,)).astype(bool)),
+        "scalar": jnp.float32(rng.standard_normal()),
+    }
+    out = host_fetch(tree)
+    for k in tree:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(tree[k]))
+        assert out[k].dtype == np.asarray(tree[k]).dtype
