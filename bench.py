@@ -24,16 +24,29 @@ lands in ``extras.errors`` and the JSON line still prints (rc=0 when at
 least one metric survived).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+
+Outage watchdog: the tunneled TPU backend can go down for hours at a time
+(observed twice; when down, the first device op HANGS rather than raising,
+so a plain bench would be killed by the driver with no artifact at all --
+the round-2 failure mode).  ``main`` therefore probes the backend in a
+time-bounded subprocess, runs the real bench in a child process with a
+hard timeout, and on a hang/failure reruns the child on XLA:CPU with a
+smaller batch so the driver always gets ONE labeled JSON line (rc=0,
+``extras.platform`` says which backend produced it).
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 import traceback
 
 import numpy as np
 
+PROBE_TIMEOUT_S = int(os.environ.get("ECHOSEAL_BENCH_PROBE_S", "600"))
+CHILD_TIMEOUT_S = int(os.environ.get("ECHOSEAL_BENCH_CHILD_S", "4200"))
 RETRIES = 4
 _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE", "INTERNAL",
               "RESOURCE_EXHAUSTED", "ABORTED", "connection", "Connection")
@@ -55,7 +68,14 @@ def _retry(fn, what: str):
             time.sleep(2.0 * (attempt + 1))
 
 
-def main() -> None:
+def _run_bench() -> None:
+    if os.environ.get("ECHOSEAL_BENCH_PLATFORM") == "cpu":
+        # JAX_PLATFORMS alone does not stick here (sitecustomize registers
+        # the accelerator plugin); the config update must land before any
+        # backend touch.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +85,7 @@ def main() -> None:
     fs = 48_000
     clip_s = 3.0
     T = int(clip_s * fs)
-    B = 256
+    B = int(os.environ.get("ECHOSEAL_BENCH_B", "256"))
     rng = np.random.default_rng(0)
 
     extras: dict = {"platform": jax.default_backend()}
@@ -221,6 +241,87 @@ def main() -> None:
                       "unit": "audio-sec/sec/chip",
                       "vs_baseline": round(value / 1000.0, 3),
                       "extras": extras}))
+
+
+_PROBE_SRC = """
+import numpy as np
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+print("PROBE_OK", float(np.asarray((x @ x).ravel()[0])))
+"""
+
+
+def _extract_json(stdout: str) -> str | None:
+    for line in reversed(stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return line
+    return None
+
+
+def main() -> None:
+    if os.environ.get("ECHOSEAL_BENCH_CHILD") == "1":
+        _run_bench()
+        return
+
+    here = os.path.abspath(__file__)
+    repo = os.path.dirname(here)
+
+    def child(platform: str, timeout: int):
+        env = dict(os.environ, ECHOSEAL_BENCH_CHILD="1")
+        if platform == "cpu":
+            env["ECHOSEAL_BENCH_PLATFORM"] = "cpu"
+            env.setdefault("ECHOSEAL_BENCH_B", "32")
+        return subprocess.run([sys.executable, here], env=env, cwd=repo,
+                              capture_output=True, text=True,
+                              timeout=timeout)
+
+    # ---- bounded liveness probe (a down backend HANGS, never raises) ----
+    probe_ok, reason = False, ""
+    try:
+        p = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, text=True, cwd=repo,
+                           timeout=PROBE_TIMEOUT_S)
+        probe_ok = p.returncode == 0 and "PROBE_OK" in p.stdout
+        if not probe_ok:
+            reason = (f"probe rc={p.returncode}: "
+                      + (p.stderr or p.stdout).strip()[-300:])
+    except subprocess.TimeoutExpired:
+        reason = f"backend init hung > {PROBE_TIMEOUT_S}s (outage)"
+    if reason:
+        print(f"# bench: accelerator probe failed -- {reason}",
+              file=sys.stderr)
+
+    # ---- real bench on the accelerator ----------------------------------
+    if probe_ok:
+        try:
+            r = child("default", CHILD_TIMEOUT_S)
+            print(r.stderr[-4000:], file=sys.stderr)
+            line = _extract_json(r.stdout)
+            if r.returncode == 0 and line:
+                print(line)
+                return
+            reason = f"accelerator bench rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = f"accelerator bench exceeded {CHILD_TIMEOUT_S}s"
+        print(f"# bench: {reason}; falling back to CPU", file=sys.stderr)
+
+    # ---- labeled CPU fallback: some metric always beats no metric -------
+    try:
+        r = child("cpu", 2400)
+        print(r.stderr[-4000:], file=sys.stderr)
+        line = _extract_json(r.stdout)
+        if r.returncode == 0 and line:
+            rec = json.loads(line)
+            rec.setdefault("extras", {})["tpu_unavailable"] = reason
+            print(json.dumps(rec))
+            return
+        reason += f"; cpu fallback rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        reason += "; cpu fallback timed out"
+    print(json.dumps({"metric": "bench failed", "value": None,
+                      "unit": "audio-sec/sec/chip", "vs_baseline": None,
+                      "extras": {"errors": reason}}))
+    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -157,8 +157,9 @@ def main() -> None:
             clips[i, :L] = y[:L]
             nvr[i] = L
         if "timescale" in name:
-            # the recovery ladder resamples on the host, so it needs the
-            # host-side clips; its timing inherently includes that traffic
+            # the recovery ladder corrects on device (ops/resample.py) but
+            # takes host clips (host resample_poly remains the fallback for
+            # out-of-family factors), so its timing includes the one upload
             t0 = time.perf_counter()
             v = bv2.verify_batch_recover(clips, nvr)
         else:

@@ -533,6 +533,7 @@ class RobustBatchVerifier(BatchVerifier):
         self.span = self.profile.span
         self._spec = profile_spec(self.profile)
         self._list_size = int(list_size)
+        self._resamplers: dict[int, object] = {}
 
         S = self.profile.oversample
         self._templates = jnp.asarray(robust_templates(fs, S))
@@ -648,12 +649,37 @@ class RobustBatchVerifier(BatchVerifier):
                   & (np.abs(f - 1.0) > 1e-4))
         factors = {int(fail[i]): float(f[i]) for i in np.flatnonzero(passed)}
         return self._retry_scaled(clips, n_valid, factors, verdicts,
-                                  expected_nonce, refine=True)
+                                  expected_nonce, refine=True,
+                                  clips_dev=clips_dev)
+
+    def _device_resampler(self, t_in: int):
+        """Family-compiled +-5% device resampler for ``t_in``-wide clips."""
+        rs = self._resamplers.get(t_in)
+        if rs is None:
+            from echoseal_tpu.ops.resample import DeviceResampler
+
+            rs = DeviceResampler(self.fs, int(self.fs * 0.95),
+                                 int(self.fs * 1.05), t_in)
+            self._resamplers[t_in] = rs
+        return rs
 
     def _retry_scaled(self, clips, n_valid, factors: dict[int, float],
                       verdicts: np.ndarray, expected_nonce: bytes | None,
-                      refine: bool) -> np.ndarray:
-        """Group-resample ``factors`` clips, re-verify, optionally refine."""
+                      refine: bool, clips_dev=None) -> np.ndarray:
+        """Group-resample ``factors`` clips, re-verify, optionally refine.
+
+        With ``clips_dev`` (the already-uploaded clip batch), the
+        correction resamples ON DEVICE (ops/resample.py): the recovery
+        row's former dominant cost was re-uploading every corrected clip
+        over the tunneled backend's ~8 MB/s link -- twice (coarse +
+        refinement pass), ~750 MB each for a fully time-scaled 1k batch.
+        The device lattice is ``fs``-denominated (granularity ~2.1e-5,
+        an order under the demod's ~2e-4 coherence budget), so both the
+        coarse grid factors and the peak-spacing refinements stay on
+        device; the host ``resample_poly`` path remains for factor
+        groups outside the compiled +-5% family and for device-less
+        callers, and computes the identical rational correction.
+        """
         from math import gcd
 
         from scipy.signal import resample_poly
@@ -667,33 +693,60 @@ class RobustBatchVerifier(BatchVerifier):
         for i, f in factors.items():
             groups.setdefault(round(f, 6), []).append(i)
 
-        sel: list[int] = []
+        # device rows are concatenated ahead of host rows, so bookkeeping
+        # (sel / nv2) is kept in matching (device, host) halves
+        sel_d: list[int] = []
+        sel_h: list[int] = []
         rows: list[np.ndarray] = []
-        nv2: list[int] = []
+        dev_rows: list[jnp.ndarray] = []
+        nv2_d: list[int] = []
+        nv2_h: list[int] = []
+        rs = self._device_resampler(Tpad) if clips_dev is not None else None
         for f, members in groups.items():
             den = int(round(self.fs * f))
-            g = gcd(self.fs, den)
-            y = resample_poly(clips[members], self.fs // g, den // g,
-                              axis=-1).astype(np.float32)
-            for r, i in enumerate(members):
-                row = np.zeros(Tpad, np.float32)
+            if rs is not None and rs.down_min <= den <= rs.down_max:
+                # bucket the gather so the resample stage compiles once
+                # per power-of-two batch size, not per group size
+                mb = 32
+                while mb < len(members):
+                    mb <<= 1
+                midx = np.zeros(mb, np.int32)
+                midx[: len(members)] = members
+                y, n_out = rs(clips_dev[jnp.asarray(midx)], den)
+                dev_rows.append(y[: len(members), :Tpad])
+                L = min(n_out, Tpad)
+                sel_d.extend(members)
+                nv2_d.extend(min(int(int(n_valid[i]) * self.fs / den), L)
+                             for i in members)
+            else:
+                g = gcd(self.fs, den)
+                y = resample_poly(clips[members], self.fs // g, den // g,
+                                  axis=-1).astype(np.float32)
                 L = min(y.shape[1], Tpad)
-                row[:L] = y[r, :L]
-                sel.append(i)
-                rows.append(row)
-                nv2.append(min(int(int(n_valid[i]) * self.fs / den), L))
+                for r in range(len(members)):
+                    row = np.zeros(Tpad, np.float32)
+                    row[:L] = y[r, :L]
+                    rows.append(row)
+                sel_h.extend(members)
+                nv2_h.extend(min(int(int(n_valid[i]) * self.fs / den), L)
+                             for i in members)
+        sel = sel_d + sel_h
+        nv2 = nv2_d + nv2_h
         # pad to a power-of-two bucket: the resampled-retry batch size is
         # the (arbitrary) number of recovered clips, and every distinct
         # batch size would otherwise cost a fresh XLA compile of the v2
         # stage -- minutes each on TPU
-        n_rows = len(rows)
+        n_rows = len(sel)
         bucket = 32
         while bucket < n_rows:
             bucket <<= 1
-        for _ in range(bucket - n_rows):
-            rows.append(np.zeros(Tpad, np.float32))
-            nv2.append(0)
-        batch = np.stack(rows)
+        parts: list[jnp.ndarray] = list(dev_rows)
+        if rows:
+            parts.append(jnp.asarray(np.stack(rows)))
+        if bucket > n_rows:
+            parts.append(jnp.zeros((bucket - n_rows, Tpad), jnp.float32))
+            nv2.extend([0] * (bucket - n_rows))
+        batch = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         out = self.run_device(batch, np.asarray(nv2, np.int32))
         vr = self._finish_ladder(out, expected_nonce, True, 1 << 20)
         for r, i in enumerate(sel):
@@ -711,7 +764,8 @@ class RobustBatchVerifier(BatchVerifier):
                 if fine is not None and abs(fine - 1.0) > 1e-4:
                     nxt[i] = factors[i] * fine
             verdicts = self._retry_scaled(clips, n_valid, nxt, verdicts,
-                                          expected_nonce, refine=False)
+                                          expected_nonce, refine=False,
+                                          clips_dev=clips_dev)
         return verdicts
 
     # ----------------------------------------------------------- SCL stage

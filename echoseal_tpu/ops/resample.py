@@ -1,0 +1,210 @@
+"""Device-side rational polyphase resampler (scipy ``resample_poly`` parity).
+
+The batched time-scale recovery ladder (models/pipeline.py
+``verify_batch_recover``) corrects recovered clips by resampling at a
+rational factor.  The original implementation ran ``scipy.signal.
+resample_poly`` on the host, which on the tunneled TPU backend meant
+re-uploading the whole corrected batch over the ~8 MB/s link -- ~750 MB
+for a fully time-scaled 1k batch, twice (coarse grid pass + fine
+refinement pass): the dominant cost of the recovery row (ROADMAP.md).
+This module keeps both corrections on device.
+
+TPU-first formulation -- "phase-table" polyphase, not upfirdn:
+``resample_poly(x, up, down)`` output ``N = j*up + n`` is a K-tap dot
+product (K <= 22 for scipy's kaiser design, any ratio)
+
+    y[j*up + n] = sum_t  x[j*down + s0 + off[n] + t] * taps[n, t]
+
+where ``off``/``taps`` depend only on the in-block phase ``n``.  So the
+whole resample is: window extraction at stride ``down`` (ONE gather via
+the vmapped ``dynamic_slice`` in ops/demod.slice_windows -- per-WINDOW
+cost), then K shifted ``take`` ops along the window axis (each is a
+single gather of ``up`` rows spanning the whole batch*blocks extent --
+~K*up row-ops total, NOT per-sample) folded into an elementwise FMA.
+Bandwidth-bound: ~2K passes over the batch, no matmul, no bf16 risk.
+A dense ``(width, up)`` matrix formulation was tried first and matches
+bit-for-bit, but wastes width/K ~ 50x MXU FLOPs on structural zeros
+(~11 s for a 128-clip batch); this one is ~60 ms for a 1k batch.
+
+``taps`` is built on the host from the exact FIR scipy designs (firwin,
+kaiser beta 5.0, half-length ``10*max(up_r, down_r)`` on the gcd-reduced
+ratio) including scipy's pre-pad/trim alignment, so outputs match
+``resample_poly`` to f32 rounding (measured ~2e-7 relative).
+
+Shape policy: ``up``, window ``width``, block count and ``K`` are
+static; ``down``, ``n_out``, ``s0``, ``off`` and ``taps`` are traced.
+One XLA compile covers a WHOLE factor family -- e.g. ``up=48000`` with
+``down`` anywhere in [45600, 50400] gives every correction factor on a
+2.1e-5 grid (well inside the v2 demod's ~2e-4 coherence budget) for a
+per-factor cost of one host FIR design + a ~4.6 MB table upload, cached.
+
+The reference has no resampling correction at all (its README.md:165
++-5% time-scale claim ships untested); the host-side polyphase path this
+accelerates mirrors reference utils.py:58-66.
+"""
+from __future__ import annotations
+
+import functools
+from math import gcd
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resample_plan", "resample_rows", "DeviceResampler"]
+
+_PAD_LEFT = 64  # >= |s0| for every supported ratio (asserted in the plan)
+K_TAPS = 24     # >= ceil(Lh / up_r) + 1 for scipy's design, any ratio
+
+
+@functools.lru_cache(maxsize=64)
+def _design(up_r: int, down_r: int) -> tuple[np.ndarray, int, int]:
+    """scipy resample_poly's FIR + alignment for a reduced ratio.
+
+    Returns ``(h, pre_pad, pre_remove)`` exactly as scipy computes them:
+    ``y[n] = z[(n + pre_remove) * down_r]`` where ``z`` is the
+    zero-stuffed convolution of ``x`` with ``h`` left-padded by
+    ``pre_pad`` zeros.
+    """
+    from scipy.signal import firwin
+
+    if up_r == down_r:
+        raise ValueError("resample factor 1.0 is the identity; skip it")
+    max_rate = max(up_r, down_r)
+    half_len = 10 * max_rate
+    h = firwin(2 * half_len + 1, 1.0 / max_rate,
+               window=("kaiser", 5.0)) * up_r
+    pre_pad = down_r - half_len % down_r
+    pre_remove = (half_len + pre_pad) // down_r
+    return h.astype(np.float64), pre_pad, pre_remove
+
+
+@functools.lru_cache(maxsize=64)
+def resample_plan(up: int, down: int
+                  ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Phase table for ``resample_poly(x, up, down)`` on the ``up`` lattice.
+
+    Returns ``(taps, off, s0)``: float32 ``taps`` of shape
+    ``(up, K_TAPS)`` and int32 ``off`` of shape ``(up,)`` such that
+
+        y[j*up + n] = sum_t x[j*down + s0 + off[n] + t] * taps[n, t]
+
+    with out-of-range input indices reading zero.  ``up``/``down`` need
+    not be coprime -- the FIR is designed on the reduced ratio (matching
+    scipy's output exactly), then laid out on the caller's lattice so
+    one static block size serves a whole factor family.
+    """
+    g = gcd(up, down)
+    up_r, down_r = up // g, down // g
+    h, pre_pad, pre_remove = _design(up_r, down_r)
+    Lh = h.size
+    # Output n of block 0 taps the zero-stuffed lattice at
+    #   t_n = (n + pre_remove) * down_r - pre_pad      (reduced units)
+    # with y[n] = sum_q x[q] * h[t_n - q*up_r]; nonzero q span
+    # [ceil((t_n - Lh + 1)/up_r), floor(t_n/up_r)].  Block j shifts the
+    # input window by exactly j*down (up*down_r/up_r = down).
+    n = np.arange(up, dtype=np.int64)
+    t_n = (n + pre_remove) * down_r - pre_pad
+    q_hi = t_n // up_r
+    q_lo = -(-(t_n - (Lh - 1)) // up_r)
+    n_taps = int((q_hi - q_lo).max()) + 1
+    if n_taps > K_TAPS:
+        raise ValueError(f"K_TAPS={K_TAPS} < needed {n_taps} "
+                         f"for up={up}, down={down}")
+    s0 = int(q_lo.min())
+    if s0 < -_PAD_LEFT:
+        raise ValueError(f"s0={s0} exceeds the device left pad")
+    off = (q_lo - s0).astype(np.int32)
+    # taps[n, t] multiplies x[q_lo[n] + t]
+    tt = np.arange(K_TAPS, dtype=np.int64)
+    idx = t_n[:, None] - (q_lo[:, None] + tt[None, :]) * up_r
+    valid = (idx >= 0) & (idx < Lh)
+    taps = np.where(valid, h[np.clip(idx, 0, Lh - 1)], 0.0)
+    return taps.astype(np.float32), off, s0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("up", "width", "n_blocks"))
+def _resample_stage(x: jnp.ndarray, taps: jnp.ndarray, off: jnp.ndarray,
+                    s0: jnp.ndarray, down: jnp.ndarray,
+                    n_out: jnp.ndarray, *, up: int, width: int,
+                    n_blocks: int) -> jnp.ndarray:
+    """(B, T) float32 -> (B, n_blocks*up) resampled, zero past ``n_out``.
+
+    Everything factor-dependent (``taps``/``off``/``s0``/``down``/
+    ``n_out``) is traced, so one compile covers every factor of a
+    family.  Blocks whose window would run past the padded input are
+    clamp-shifted by ``slice_windows``; their outputs all lie at or
+    beyond ``n_out`` and the final mask zeroes them, so no garbage
+    escapes into the valid region.
+    """
+    from echoseal_tpu.ops.demod import slice_windows
+
+    B = x.shape[0]
+    xp = jnp.pad(x, ((0, 0), (_PAD_LEFT, width)))
+    starts = (jnp.arange(n_blocks, dtype=jnp.int32) * down
+              + (s0 + _PAD_LEFT))
+    win = slice_windows(xp, jnp.broadcast_to(starts, (B, n_blocks)), width)
+    acc = jnp.zeros((B, n_blocks, up), x.dtype)
+    for t in range(taps.shape[1]):
+        # ONE gather of `up` rows spanning (B, n_blocks) each -- never a
+        # per-sample index lattice (see slice_windows' docstring for the
+        # per-row-op cost model on this backend).
+        v = jnp.take(win, off + t, axis=-1)        # (B, n_blocks, up)
+        acc = acc + v * taps[:, t]
+    y = acc.reshape(B, n_blocks * up)
+    return y * (jnp.arange(n_blocks * up) < n_out)
+
+
+class DeviceResampler:
+    """Family-compiled device resampler: ``up`` fixed, ``down`` dynamic.
+
+    >>> rs = DeviceResampler(up=48000, down_min=45600, down_max=50400,
+    ...                      t_in=184320)
+    >>> y, n_out = rs(clips_dev, down=49488)    # factor 1.031 correction
+
+    One XLA compile serves every ``down`` in range; per-factor host cost
+    is one FIR design + a ~(up*K_TAPS*4)-byte table upload (lru-cached).
+    """
+
+    def __init__(self, up: int, down_min: int, down_max: int,
+                 t_in: int) -> None:
+        if not (0 < down_min <= down_max):
+            raise ValueError("need 0 < down_min <= down_max")
+        self.up = int(up)
+        self.t_in = int(t_in)
+        self.width = int(down_max) + K_TAPS + _PAD_LEFT
+        n_out_max = -(-self.t_in * self.up // int(down_min))
+        self.n_blocks = -(-n_out_max // self.up)
+        self.down_min, self.down_max = int(down_min), int(down_max)
+
+    def __call__(self, x: jnp.ndarray, down: int
+                 ) -> tuple[jnp.ndarray, int]:
+        down = int(down)
+        if not (self.down_min <= down <= self.down_max):
+            raise ValueError(f"down={down} outside compiled family "
+                             f"[{self.down_min}, {self.down_max}]")
+        if x.shape[-1] != self.t_in:
+            raise ValueError(f"t_in={x.shape[-1]} != {self.t_in}")
+        taps, off, s0 = resample_plan(self.up, down)
+        n_out = -(-x.shape[-1] * self.up // down)
+        y = _resample_stage(
+            x, jnp.asarray(taps), jnp.asarray(off), jnp.int32(s0),
+            jnp.int32(down), jnp.int32(min(n_out, self.n_blocks * self.up)),
+            up=self.up, width=self.width, n_blocks=self.n_blocks)
+        return y, n_out
+
+
+def resample_rows(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
+    """One-shot device ``resample_poly(x, up, down, axis=-1)``.
+
+    Convenience wrapper (own compile per (up, down, T) family); e.g.
+    44.1 kHz -> 48 kHz batch ingest is ``resample_rows(x, 160, 147)``.
+    """
+    one = x.ndim == 1
+    if one:
+        x = x[None]
+    rs = DeviceResampler(up, down, down, x.shape[-1])
+    y, n_out = rs(x, down)
+    y = y[..., :n_out]
+    return y[0] if one else y

@@ -1,0 +1,81 @@
+"""Device polyphase resampler: scipy parity + family-compile contract.
+
+The device resampler (ops/resample.py) replaces the host
+``scipy.signal.resample_poly`` + full-batch re-upload in the batched
+time-scale recovery ladder; its contract is exact scipy parity (same
+FIR, same trim) to f32 rounding, for any rational factor in the
+compiled family.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.signal import resample_poly
+
+from echoseal_tpu.ops.resample import (
+    DeviceResampler,
+    resample_plan,
+    resample_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def x3():
+    rng = np.random.default_rng(11)
+    return rng.standard_normal((3, 40_000)).astype(np.float32)
+
+
+def _rel_err(y, ref):
+    return float(np.abs(y[..., : ref.shape[-1]] - ref).max()
+                 / np.abs(ref).max())
+
+
+def test_family_parity_vs_scipy(x3):
+    """One DeviceResampler instance covers the whole +-5% factor family
+    and matches resample_poly at every ratio, including non-coprime and
+    near-1 ones."""
+    rs = DeviceResampler(up=48_000, down_min=45_600, down_max=50_400,
+                         t_in=x3.shape[-1])
+    xd = jnp.asarray(x3)
+    for down in (45_600, 46_703, 48_001, 49_488, 50_400):
+        y, n_out = rs(xd, down)
+        y = np.asarray(y)
+        ref = resample_poly(x3.astype(np.float64), 48_000, down, axis=-1)
+        assert ref.shape[-1] == n_out
+        assert _rel_err(y, ref) < 1e-5
+        # the masked tail past n_out must be exactly zero -- downstream
+        # stages rely on no clamp-shifted garbage escaping
+        if y.shape[-1] > n_out:
+            assert np.abs(y[:, n_out:]).max() == 0.0
+
+
+def test_coarse_grid_lattice_parity(x3):
+    """The 1000-lattice (coarse scan-grid factors) is also exact."""
+    rs = DeviceResampler(up=1000, down_min=950, down_max=1050,
+                         t_in=x3.shape[-1])
+    for down in (953, 1031):
+        y, n_out = rs(jnp.asarray(x3), down)
+        ref = resample_poly(x3.astype(np.float64), 1000, down, axis=-1)
+        assert _rel_err(np.asarray(y), ref) < 1e-5
+
+
+def test_ingest_ratio_and_1d():
+    """44.1 kHz -> 48 kHz ingest (160/147) on a 1-D row."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(44_100).astype(np.float32)
+    y = np.asarray(resample_rows(jnp.asarray(x), 160, 147))
+    ref = resample_poly(x.astype(np.float64), 160, 147)
+    assert y.shape == ref.shape
+    assert _rel_err(y, ref) < 1e-5
+
+
+def test_contract_errors(x3):
+    rs = DeviceResampler(up=1000, down_min=950, down_max=1050,
+                         t_in=x3.shape[-1])
+    with pytest.raises(ValueError):
+        rs(jnp.asarray(x3), 900)            # outside the compiled family
+    with pytest.raises(ValueError):
+        rs(jnp.asarray(x3[:, :100]), 1031)  # wrong t_in
+    with pytest.raises(ValueError):
+        resample_plan(1000, 1000)           # factor 1.0 is the identity
