@@ -565,10 +565,45 @@ class RobustBatchVerifier(BatchVerifier):
                      n_valid: np.ndarray | None = None, *,
                      expected_nonce: bytes | None = None,
                      use_scl: bool = True,
-                     max_stream_frames: int = 1 << 20) -> np.ndarray:
+                     max_stream_frames: int = 1 << 20,
+                     fs_in: int | None = None) -> np.ndarray:
+        """Batch verdicts; ``fs_in`` accepts non-48 kHz captures.
+
+        With ``fs_in`` (e.g. 44100), the batch is rate-converted ON
+        DEVICE (ops/resample.py, scipy-parity polyphase) before the
+        verify stage -- the serving-tier equivalent of the single-clip
+        ``verify(audio, fs_in)`` host resample, without a host
+        resample + re-upload per batch.  ``n_valid`` is given in INPUT
+        samples.  (``verify_batch_recover`` expects 48 kHz clips: its
+        host-fallback resample path composes with ingest conversion
+        upstream, as the CLI does.)
+        """
+        if fs_in is not None and int(fs_in) != self.fs:
+            if n_valid is None:
+                n_valid = np.full(len(clips), np.shape(clips)[-1],
+                                  np.int32)
+            clips, n_valid = self._ingest(clips, n_valid, int(fs_in))
         out = self.run_device(clips, n_valid)
         return self._finish_ladder(out, expected_nonce, use_scl,
                                    max_stream_frames)
+
+    def _ingest(self, clips, n_valid, fs_in: int):
+        """Device rate conversion ``fs_in`` -> ``self.fs`` for a batch."""
+        from math import gcd
+
+        from echoseal_tpu.ops.resample import DeviceResampler
+
+        g = gcd(self.fs, fs_in)
+        up, down = self.fs // g, fs_in // g
+        t_in = int(np.shape(clips)[-1])
+        rs = self._resamplers.get((fs_in, t_in))
+        if rs is None:
+            rs = DeviceResampler(up, down, down, t_in)
+            self._resamplers[(fs_in, t_in)] = rs
+        y, n_out = rs(jnp.asarray(clips, dtype=jnp.float32), down)
+        nv = np.minimum(np.asarray(n_valid).astype(np.int64) * up // down,
+                        n_out).astype(np.int32)
+        return y[:, :n_out], nv
 
     def _finish_ladder(self, out, expected_nonce, use_scl: bool,
                        max_stream_frames: int) -> np.ndarray:

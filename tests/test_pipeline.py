@@ -133,6 +133,39 @@ def test_bf16_table_storage_verdict_parity(key32, v2_batch):
     assert v16.tolist() == [True, True, True, False]
 
 
+def test_v2_batch_ingest_44k1(key32, v2_batch):
+    """``verify_batch(..., fs_in=44100)``: device ingest rate conversion.
+
+    A 44.1 kHz capture of the v2 corpus must (a) verdict-match the
+    host-resample reference path row for row, and (b) keep the clean
+    accept and the no-watermark rejection absolutely.  T_in is chosen so
+    the device-resampled width lands exactly on the corpus' 1<<18 pad
+    (ceil(240844 * 160/147) = 262144), sharing the stage compile.
+    """
+    from scipy.signal import resample_poly
+
+    from echoseal_tpu.models.detector import resample_to
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    clips, nv = v2_batch
+    T_in = 240_844
+    cap = resample_poly(clips.astype(np.float64), 147, 160,
+                        axis=-1)[:, :T_in].astype(np.float32)
+    nv44 = (nv.astype(np.int64) * 147 // 160).astype(np.int32)
+
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    dev = bv.verify_batch(cap, nv44, fs_in=44_100)
+
+    back = np.stack([resample_to(FS, row, 44_100) for row in cap])
+    ref_clips = np.zeros((cap.shape[0], 1 << 18), np.float32)
+    ref_clips[:, : back.shape[1]] = back[:, : 1 << 18]
+    ref = bv.verify_batch(
+        ref_clips, np.minimum(nv44.astype(np.int64) * 160 // 147,
+                              back.shape[1]).astype(np.int32))
+    assert dev.tolist() == ref.tolist()
+    assert bool(dev[0]) and not bool(dev[3])
+
+
 def test_robust_batch_timescale_recovery(key32, v2_batch, monkeypatch):
     """Batched +-5% playback-speed recovery with no caller hint.
 
