@@ -81,6 +81,8 @@ def main() -> None:
         "awgn+6dB": lambda x: channels.awgn(x, 6.0, rng),
         "awgn-15dB": lambda x: channels.awgn(x, -15.0, rng),
         "timescale+3.1%": lambda x: channels.time_scale(x, 1.031),
+        "reverb(6dB,150ms)": lambda x: channels.reverb(
+            x, 150.0, direct_to_reverb_db=6.0, rng=rng),
     }
 
     import jax

@@ -34,6 +34,8 @@ def main(key: bytes = b"\xaa" * 32, seconds: float = 4.0) -> None:
         "timescale+5%": lambda x: channels.time_scale(x, 1.05),
         "lowpass3.5k": lambda x: channels.lowpass(x, 3500.0),
         "dropout": lambda x: channels.dropout(x, 5.0, 0.5),
+        "reverb(6dB,150ms)": lambda x: channels.reverb(
+            x, 150.0, direct_to_reverb_db=6.0),
     }
 
     from echoseal_tpu.models.robust import RobustEmbedder, RobustVerifier

@@ -14,6 +14,10 @@ SURVEY.md §4).  This module makes the impairments real and measurable:
   high-frequency cutoff and spectral quantisation noise -- are modelled)
 * ``excerpt``     -- random sub-clip (mid-stream capture)
 * ``dropout``     -- zeroed sample bursts (packet loss)
+* ``reverb``      -- synthetic room impulse response (direct path +
+  sparse early reflections + exponentially-decaying diffuse tail), the
+  acoustic-capture impairment behind the reference's "3 s smartphone
+  recording" claim (README.md:10)
 
 All are pure NumPy host transforms (they model the world outside the
 device, not device compute).
@@ -105,3 +109,52 @@ def dropout(x: np.ndarray, burst_ms: float = 20.0, rate_hz: float = 1.0,
         s = int(rng.integers(0, max(x.size - n_burst, 1)))
         y[s : s + n_burst] = 0.0
     return y
+
+
+def room_impulse_response(rt60_ms: float = 150.0, *,
+                          direct_to_reverb_db: float = 6.0,
+                          n_early: int = 4, fs: int = 48_000,
+                          rng=None) -> np.ndarray:
+    """Synthetic room impulse response (acoustic capture model).
+
+    Unit direct path at t=0, ``n_early`` sparse early reflections in the
+    first ~15 ms with alternating-ish signs, and an exponentially
+    decaying Gaussian diffuse tail sized so the total reverberant energy
+    sits ``direct_to_reverb_db`` below the direct path.  ``rt60_ms`` is
+    the -60 dB decay time of the tail.  This is the standard
+    statistical RIR surrogate (image-method tails are Gaussian by the
+    central limit theorem); no acoustics package exists in this image.
+    """
+    rng = rng or np.random.default_rng(0)
+    n = max(int(rt60_ms * fs / 1000.0), 64)
+    t = np.arange(n)
+    tau = (rt60_ms * fs / 1000.0) / np.log(1000.0)      # -60 dB at rt60
+    tail = rng.standard_normal(n) * np.exp(-t / tau)
+    tail[0] = 0.0
+    for _ in range(n_early):
+        d = int(rng.integers(int(0.001 * fs), int(0.015 * fs)))
+        if d < n:
+            tail[d] += float(rng.choice([-1.0, 1.0])) * float(
+                rng.uniform(0.3, 0.7))
+    e_tail = float(np.sum(tail * tail)) + 1e-30
+    tail *= 10.0 ** (-direct_to_reverb_db / 20.0) / np.sqrt(e_tail)
+    h = tail
+    h[0] = 1.0
+    return h.astype(np.float32)
+
+
+def reverb(x: np.ndarray, rt60_ms: float = 150.0, *,
+           direct_to_reverb_db: float = 6.0, fs: int = 48_000,
+           rng=None) -> np.ndarray:
+    """Convolve with a synthetic room impulse response (same length out).
+
+    Models the loudspeaker->room->microphone path of an acoustic
+    capture; ``direct_to_reverb_db`` is the direct-to-reverberant energy
+    ratio (~6 dB is a phone at arm's length in a living room; 0 dB is a
+    far-field capture).
+    """
+    h = room_impulse_response(rt60_ms,
+                              direct_to_reverb_db=direct_to_reverb_db,
+                              fs=fs, rng=rng)
+    y = np.convolve(x.astype(np.float64), h.astype(np.float64))
+    return y[: x.size].astype(np.float32)
