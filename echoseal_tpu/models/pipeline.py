@@ -826,27 +826,44 @@ class RobustBatchVerifier(BatchVerifier):
              out["scl_ctr"][idx].astype(jnp.int32)[..., None]], axis=-1)
         host = np.asarray(packed)                 # (F, R, 1025) int32
         llr = np.ascontiguousarray(host[..., :1024]).view(
-            np.float32).reshape(-1, 1024)
-        ctrs = host[..., 1024].reshape(-1)
+            np.float32).reshape(clips_f.size, R, 1024)
+        ctrs = host[..., 1024]                    # (F, R)
         from echoseal_tpu.models.detector import _cand_bucket
 
-        n_rows = llr.shape[0]
-        # pad to a power-of-two bucket: one compile per bucket, not per count
-        bucket = _cand_bucket(n_rows)
-        if n_rows < bucket:
-            llr = np.concatenate(
-                [llr, np.zeros((bucket - n_rows, llr.shape[1]), np.float32)])
-        res = scl_decode(jnp.asarray(llr), self._spec, self._list_size)
-        ok = np.asarray(res["crc_ok"])[:n_rows]
-        bits = np.asarray(res["info_bits"])[:n_rows]
-        for r in range(n_rows):
-            i = clips_f[r // R]
-            if rescued[i]:
+        # staged decode, verdict-identical to decoding all F*R rows at
+        # once (rescue is a disjunction over rows): the best soft row
+        # rescues most clips, so stage 1 list-decodes only row 0 of every
+        # failing clip and stage 2 spends rows 1..R-1 on the remainder --
+        # ~Rx less list-decode work on the SCL-bound serving rows.  The
+        # device download above already shipped all rows in ONE transfer.
+        pending = np.arange(clips_f.size)
+        for lo, hi in ((0, 1), (1, R)):
+            if pending.size == 0 or lo >= hi:
                 continue
-            for li in np.flatnonzero(ok[r]):
-                nonce = self._accept_blob(pack_info_bits(bits[r, li]),
-                                          int(ctrs[r]), expected_nonce)
-                if nonce is not None:
-                    rescued[i] = True
-                    break
+            w = hi - lo
+            sub = np.ascontiguousarray(
+                llr[pending, lo:hi]).reshape(-1, 1024)
+            sub_ctr = ctrs[pending, lo:hi].reshape(-1)
+            n_rows = sub.shape[0]
+            # pad to a power-of-two bucket: one compile per bucket size
+            bucket = _cand_bucket(n_rows)
+            if n_rows < bucket:
+                sub = np.concatenate(
+                    [sub,
+                     np.zeros((bucket - n_rows, sub.shape[1]), np.float32)])
+            res = scl_decode(jnp.asarray(sub), self._spec, self._list_size)
+            ok = np.asarray(res["crc_ok"])[:n_rows]
+            bits = np.asarray(res["info_bits"])[:n_rows]
+            for r in range(n_rows):
+                i = clips_f[pending[r // w]]
+                if rescued[i]:
+                    continue
+                for li in np.flatnonzero(ok[r]):
+                    nonce = self._accept_blob(pack_info_bits(bits[r, li]),
+                                              int(sub_ctr[r]),
+                                              expected_nonce)
+                    if nonce is not None:
+                        rescued[i] = True
+                        break
+            pending = pending[~rescued[clips_f[pending]]]
         return rescued
