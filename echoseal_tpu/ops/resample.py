@@ -187,6 +187,10 @@ class DeviceResampler:
         if x.shape[-1] != self.t_in:
             raise ValueError(f"t_in={x.shape[-1]} != {self.t_in}")
         taps, off, s0 = resample_plan(self.up, down)
+        if int(off.max()) + K_TAPS > self.width:
+            # jnp.take clamps out-of-range silently -- fail loudly instead
+            raise ValueError(f"window width {self.width} too small for "
+                             f"down={down} (needs {int(off.max()) + K_TAPS})")
         n_out = -(-x.shape[-1] * self.up // down)
         y = _resample_stage(
             x, jnp.asarray(taps), jnp.asarray(off), jnp.int32(s0),
