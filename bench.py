@@ -270,7 +270,7 @@ def main() -> None:
         env = dict(os.environ, ECHOSEAL_BENCH_CHILD="1")
         if platform == "cpu":
             env["ECHOSEAL_BENCH_PLATFORM"] = "cpu"
-            env.setdefault("ECHOSEAL_BENCH_B", "32")
+            env.setdefault("ECHOSEAL_BENCH_B", "16")
         return subprocess.run([sys.executable, here], env=env, cwd=repo,
                               capture_output=True, text=True,
                               timeout=timeout)

@@ -588,7 +588,15 @@ class RobustBatchVerifier(BatchVerifier):
                                    max_stream_frames)
 
     def _ingest(self, clips, n_valid, fs_in: int):
-        """Device rate conversion ``fs_in`` -> ``self.fs`` for a batch."""
+        """Device rate conversion ``fs_in`` -> ``self.fs`` for a batch.
+
+        The output width is padded up to a 16384 bucket: the verify
+        stage compiles per clip width (minutes each on TPU), so an
+        arbitrary ``ceil(t_in * up/down)`` width must not leak out of
+        here.  The pad region is exactly zero (the resampler masks past
+        ``n_out``) and sits past ``n_valid``, which every downstream
+        stage masks by.
+        """
         from math import gcd
 
         from echoseal_tpu.ops.resample import DeviceResampler
@@ -596,14 +604,14 @@ class RobustBatchVerifier(BatchVerifier):
         g = gcd(self.fs, fs_in)
         up, down = self.fs // g, fs_in // g
         t_in = int(np.shape(clips)[-1])
-        rs = self._resamplers.get((fs_in, t_in))
-        if rs is None:
-            rs = DeviceResampler(up, down, down, t_in)
-            self._resamplers[(fs_in, t_in)] = rs
+        rs = DeviceResampler(up, down, down, t_in)  # cheap; stages cached
         y, n_out = rs(jnp.asarray(clips, dtype=jnp.float32), down)
+        bucket = -(-n_out // 16384) * 16384
+        if y.shape[-1] < bucket:
+            y = jnp.pad(y, ((0, 0), (0, bucket - y.shape[-1])))
         nv = np.minimum(np.asarray(n_valid).astype(np.int64) * up // down,
                         n_out).astype(np.int32)
-        return y[:, :n_out], nv
+        return y[:, :bucket], nv
 
     def _finish_ladder(self, out, expected_nonce, use_scl: bool,
                        max_stream_frames: int) -> np.ndarray:

@@ -11,7 +11,8 @@ This module keeps both corrections on device.
 
 TPU-first formulation -- "phase-table" polyphase, not upfirdn:
 ``resample_poly(x, up, down)`` output ``N = j*up + n`` is a K-tap dot
-product (K <= 22 for scipy's kaiser design, any ratio)
+product (K ~ 20*max(1, down/up) + 2 for scipy's kaiser design: ~22 for
+upsampling and mild correction factors, growing with decimation ratio)
 
     y[j*up + n] = sum_t  x[j*down + s0 + off[n] + t] * taps[n, t]
 
@@ -54,7 +55,17 @@ import numpy as np
 __all__ = ["resample_plan", "resample_rows", "DeviceResampler"]
 
 _PAD_LEFT = 64  # >= |s0| for every supported ratio (asserted in the plan)
-K_TAPS = 24     # >= ceil(Lh / up_r) + 1 for scipy's design, any ratio
+
+
+def taps_needed(up: int, down_max: int) -> int:
+    """Static tap count covering every ``down <= down_max`` on ``up``.
+
+    scipy's FIR half-length is ``10 * max(up_r, down_r)`` on the reduced
+    ratio, so taps-per-phase is bounded by ``20 * max(1, down/up) + 2``
+    -- constant (~22) for upsampling and mild correction factors, and
+    growing with the decimation ratio for downsampling.
+    """
+    return int(20 * max(1.0, down_max / up)) + 4
 
 
 @functools.lru_cache(maxsize=64)
@@ -80,12 +91,12 @@ def _design(up_r: int, down_r: int) -> tuple[np.ndarray, int, int]:
 
 
 @functools.lru_cache(maxsize=64)
-def resample_plan(up: int, down: int
+def resample_plan(up: int, down: int, k_taps: int | None = None
                   ) -> tuple[np.ndarray, np.ndarray, int]:
     """Phase table for ``resample_poly(x, up, down)`` on the ``up`` lattice.
 
     Returns ``(taps, off, s0)``: float32 ``taps`` of shape
-    ``(up, K_TAPS)`` and int32 ``off`` of shape ``(up,)`` such that
+    ``(up, k_taps)`` and int32 ``off`` of shape ``(up,)`` such that
 
         y[j*up + n] = sum_t x[j*down + s0 + off[n] + t] * taps[n, t]
 
@@ -108,15 +119,17 @@ def resample_plan(up: int, down: int
     q_hi = t_n // up_r
     q_lo = -(-(t_n - (Lh - 1)) // up_r)
     n_taps = int((q_hi - q_lo).max()) + 1
-    if n_taps > K_TAPS:
-        raise ValueError(f"K_TAPS={K_TAPS} < needed {n_taps} "
+    if k_taps is None:
+        k_taps = n_taps
+    if n_taps > k_taps:
+        raise ValueError(f"k_taps={k_taps} < needed {n_taps} "
                          f"for up={up}, down={down}")
     s0 = int(q_lo.min())
     if s0 < -_PAD_LEFT:
         raise ValueError(f"s0={s0} exceeds the device left pad")
     off = (q_lo - s0).astype(np.int32)
     # taps[n, t] multiplies x[q_lo[n] + t]
-    tt = np.arange(K_TAPS, dtype=np.int64)
+    tt = np.arange(k_taps, dtype=np.int64)
     idx = t_n[:, None] - (q_lo[:, None] + tt[None, :]) * up_r
     valid = (idx >= 0) & (idx < Lh)
     taps = np.where(valid, h[np.clip(idx, 0, Lh - 1)], 0.0)
@@ -173,7 +186,10 @@ class DeviceResampler:
             raise ValueError("need 0 < down_min <= down_max")
         self.up = int(up)
         self.t_in = int(t_in)
-        self.width = int(down_max) + K_TAPS + _PAD_LEFT
+        self.k_taps = taps_needed(self.up, int(down_max))
+        # off.max() <= down + 1 for every admitted factor, so windows
+        # never run past this width (jnp.take would clamp silently)
+        self.width = int(down_max) + self.k_taps + _PAD_LEFT
         n_out_max = -(-self.t_in * self.up // int(down_min))
         self.n_blocks = -(-n_out_max // self.up)
         self.down_min, self.down_max = int(down_min), int(down_max)
@@ -186,11 +202,7 @@ class DeviceResampler:
                              f"[{self.down_min}, {self.down_max}]")
         if x.shape[-1] != self.t_in:
             raise ValueError(f"t_in={x.shape[-1]} != {self.t_in}")
-        taps, off, s0 = resample_plan(self.up, down)
-        if int(off.max()) + K_TAPS > self.width:
-            # jnp.take clamps out-of-range silently -- fail loudly instead
-            raise ValueError(f"window width {self.width} too small for "
-                             f"down={down} (needs {int(off.max()) + K_TAPS})")
+        taps, off, s0 = resample_plan(self.up, down, self.k_taps)
         n_out = -(-x.shape[-1] * self.up // down)
         y = _resample_stage(
             x, jnp.asarray(taps), jnp.asarray(off), jnp.int32(s0),

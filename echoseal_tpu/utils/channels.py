@@ -117,28 +117,43 @@ def room_impulse_response(rt60_ms: float = 150.0, *,
                           rng=None) -> np.ndarray:
     """Synthetic room impulse response (acoustic capture model).
 
-    Unit direct path at t=0, ``n_early`` sparse early reflections in the
-    first ~15 ms with alternating-ish signs, and an exponentially
-    decaying Gaussian diffuse tail sized so the total reverberant energy
-    sits ``direct_to_reverb_db`` below the direct path.  ``rt60_ms`` is
-    the -60 dB decay time of the tail.  This is the standard
-    statistical RIR surrogate (image-method tails are Gaussian by the
-    central limit theorem); no acoustics package exists in this image.
+    Unit direct path at t=0; ``n_early`` sparse early reflections in the
+    first ~15 ms at PHYSICAL amplitudes (first bounce drawn at -6..-10 dB
+    re direct, later ones decaying -- these carry the comb filtering that
+    makes acoustic capture hard, so they must not be washed out by the
+    energy normalisation); an exponentially decaying Gaussian diffuse
+    tail (-60 dB at ``rt60_ms``) sized so TOTAL reverberant energy
+    (reflections + tail) sits ``direct_to_reverb_db`` below the direct
+    path.  When the drawn reflections alone exceed that budget (high
+    ``direct_to_reverb_db``, i.e. a weak room), everything non-direct is
+    scaled down to fit -- the budget is the contract.  This is the
+    standard statistical RIR surrogate (image-method tails are Gaussian
+    by the central limit theorem); no acoustics package is in this image.
     """
     rng = rng or np.random.default_rng(0)
     n = max(int(rt60_ms * fs / 1000.0), 64)
     t = np.arange(n)
-    tau = (rt60_ms * fs / 1000.0) / np.log(1000.0)      # -60 dB at rt60
-    tail = rng.standard_normal(n) * np.exp(-t / tau)
-    tail[0] = 0.0
+    e_budget = 10.0 ** (-direct_to_reverb_db / 10.0)
+
+    refl = np.zeros(n)
+    amp = float(rng.uniform(0.32, 0.5))          # first bounce -6..-10 dB
     for _ in range(n_early):
         d = int(rng.integers(int(0.001 * fs), int(0.015 * fs)))
         if d < n:
-            tail[d] += float(rng.choice([-1.0, 1.0])) * float(
-                rng.uniform(0.3, 0.7))
+            refl[d] += float(rng.choice([-1.0, 1.0])) * amp
+        amp *= float(rng.uniform(0.5, 0.8))
+    e_refl = float(np.sum(refl * refl))
+    if e_refl > 0.75 * e_budget:
+        refl *= np.sqrt(0.75 * e_budget / e_refl)
+        e_refl = 0.75 * e_budget
+
+    tau = (rt60_ms * fs / 1000.0) / np.log(1000.0)
+    tail = rng.standard_normal(n) * np.exp(-t / tau)
+    tail[0] = 0.0
     e_tail = float(np.sum(tail * tail)) + 1e-30
-    tail *= 10.0 ** (-direct_to_reverb_db / 20.0) / np.sqrt(e_tail)
-    h = tail
+    tail *= np.sqrt(max(e_budget - e_refl, 0.0) / e_tail)
+
+    h = refl + tail
     h[0] = 1.0
     return h.astype(np.float32)
 

@@ -70,6 +70,18 @@ def test_ingest_ratio_and_1d():
     assert _rel_err(y, ref) < 1e-5
 
 
+def test_downsampling_ratios():
+    """Decimating ratios (96 kHz / 88.2 kHz captures) need more taps per
+    phase than the +-5% family; the plan must size them, not error."""
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 9_600)).astype(np.float32)
+    for up, down in ((1, 2), (160, 294)):   # 96k->48k, 88.2k->48k
+        y = np.asarray(resample_rows(jnp.asarray(x), up, down))
+        ref = resample_poly(x.astype(np.float64), up, down, axis=-1)
+        assert y.shape == ref.shape
+        assert _rel_err(y, ref) < 1e-5
+
+
 def test_contract_errors(x3):
     rs = DeviceResampler(up=1000, down_min=950, down_max=1050,
                          t_in=x3.shape[-1])
