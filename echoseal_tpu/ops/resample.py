@@ -125,8 +125,6 @@ def resample_plan(up: int, down: int, k_taps: int | None = None
         raise ValueError(f"k_taps={k_taps} < needed {n_taps} "
                          f"for up={up}, down={down}")
     s0 = int(q_lo.min())
-    if s0 < -_PAD_LEFT:
-        raise ValueError(f"s0={s0} exceeds the device left pad")
     off = (q_lo - s0).astype(np.int32)
     # taps[n, t] multiplies x[q_lo[n] + t]
     tt = np.arange(k_taps, dtype=np.int64)
@@ -137,11 +135,11 @@ def resample_plan(up: int, down: int, k_taps: int | None = None
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("up", "width", "n_blocks"))
+                   static_argnames=("up", "width", "n_blocks", "pad_left"))
 def _resample_stage(x: jnp.ndarray, taps: jnp.ndarray, off: jnp.ndarray,
                     s0: jnp.ndarray, down: jnp.ndarray,
                     n_out: jnp.ndarray, *, up: int, width: int,
-                    n_blocks: int) -> jnp.ndarray:
+                    n_blocks: int, pad_left: int = _PAD_LEFT) -> jnp.ndarray:
     """(B, T) float32 -> (B, n_blocks*up) resampled, zero past ``n_out``.
 
     Everything factor-dependent (``taps``/``off``/``s0``/``down``/
@@ -154,9 +152,9 @@ def _resample_stage(x: jnp.ndarray, taps: jnp.ndarray, off: jnp.ndarray,
     from echoseal_tpu.ops.demod import slice_windows
 
     B = x.shape[0]
-    xp = jnp.pad(x, ((0, 0), (_PAD_LEFT, width)))
+    xp = jnp.pad(x, ((0, 0), (pad_left, width)))
     starts = (jnp.arange(n_blocks, dtype=jnp.int32) * down
-              + (s0 + _PAD_LEFT))
+              + (s0 + pad_left))
     win = slice_windows(xp, jnp.broadcast_to(starts, (B, n_blocks)), width)
     acc = jnp.zeros((B, n_blocks, up), x.dtype)
     for t in range(taps.shape[1]):
@@ -187,9 +185,12 @@ class DeviceResampler:
         self.up = int(up)
         self.t_in = int(t_in)
         self.k_taps = taps_needed(self.up, int(down_max))
-        # off.max() <= down + 1 for every admitted factor, so windows
-        # never run past this width (jnp.take would clamp silently)
-        self.width = int(down_max) + self.k_taps + _PAD_LEFT
+        # |s0| <= (Lh-1)/up_r + 1 <= k_taps, so this pad always covers
+        # the left overhang; off.max() <= down + 1 for every admitted
+        # factor, so windows never run past the width (jnp.take would
+        # clamp silently) -- both asserted per-factor in __call__
+        self.pad_left = max(_PAD_LEFT, self.k_taps + 8)
+        self.width = int(down_max) + self.k_taps + self.pad_left
         n_out_max = -(-self.t_in * self.up // int(down_min))
         self.n_blocks = -(-n_out_max // self.up)
         self.down_min, self.down_max = int(down_min), int(down_max)
@@ -203,11 +204,15 @@ class DeviceResampler:
         if x.shape[-1] != self.t_in:
             raise ValueError(f"t_in={x.shape[-1]} != {self.t_in}")
         taps, off, s0 = resample_plan(self.up, down, self.k_taps)
+        if s0 < -self.pad_left or int(off.max()) + self.k_taps > self.width:
+            raise ValueError(f"plan for down={down} exceeds the compiled "
+                             f"window (s0={s0}, off_max={int(off.max())})")
         n_out = -(-x.shape[-1] * self.up // down)
         y = _resample_stage(
             x, jnp.asarray(taps), jnp.asarray(off), jnp.int32(s0),
             jnp.int32(down), jnp.int32(min(n_out, self.n_blocks * self.up)),
-            up=self.up, width=self.width, n_blocks=self.n_blocks)
+            up=self.up, width=self.width, n_blocks=self.n_blocks,
+            pad_left=self.pad_left)
         return y, n_out
 
 

@@ -118,3 +118,36 @@ def test_host_fetch_roundtrip(seed):
         np.testing.assert_array_equal(np.asarray(out[k]),
                                       np.asarray(tree[k]))
         assert out[k].dtype == np.asarray(tree[k]).dtype
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(min_value=2, max_value=40),
+       st.integers(min_value=2, max_value=40),
+       st.integers(min_value=0, max_value=2**31))
+def test_device_resample_matches_scipy(up, down, seed):
+    """ops/resample.py == scipy.signal.resample_poly for random rationals.
+
+    The device resampler's whole contract is scipy parity (same FIR,
+    same trim) at any rational ratio -- the enumerated-family tests in
+    test_resample.py pin the serving ratios; this sweeps the space.
+    Compile cost stays bounded because each (up, down, T) family shares
+    one jit specialization and T is fixed here.
+    """
+    from math import gcd
+
+    import jax.numpy as jnp
+    from scipy.signal import resample_poly
+
+    from echoseal_tpu.ops.resample import resample_rows
+
+    if up == down:
+        up += 1
+    g = gcd(up, down)
+    up, down = up // g, down // g
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((2, 1000)).astype(np.float32)
+    got = np.asarray(resample_rows(jnp.asarray(x), up, down))
+    ref = resample_poly(x.astype(np.float64), up, down, axis=-1)
+    assert got.shape == ref.shape
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    assert float(np.abs(got - ref).max()) / scale < 2e-5
