@@ -172,6 +172,30 @@ def main() -> None:
         dt = time.perf_counter() - t0
         v2[name] = dict(accept=float(np.mean(v)), secs=round(dt, 3),
                         audio_sec_per_sec=round(B * T / fs / dt, 1))
+
+    # 44.1 kHz capture: device ingest rate conversion at serving scale.
+    # Tpad44 = 147*1152 makes the ingest output land exactly on the
+    # 184320 stage width the other rows compile (pipeline._ingest
+    # buckets output widths to 4096).
+    from scipy.signal import resample_poly
+
+    T44 = T * 147 // 160
+    Tpad44 = 169_344
+    cap = np.zeros((B, Tpad44), dtype=np.float32)
+    for i in range(B):
+        y44 = resample_poly(base2[i].astype(np.float64), 147,
+                            160).astype(np.float32)
+        cap[i, : min(y44.size, Tpad44)] = y44[:Tpad44]
+    nv44 = np.full(B, T44, dtype=np.int32)
+    cap_dev = jax.device_put(jax.numpy.asarray(cap))
+    float(np.asarray(jax.numpy.sum(cap_dev)))         # upload barrier
+    bv2.verify_batch(cap_dev, nv44, fs_in=44_100)     # warm: ingest stage
+    t0 = time.perf_counter()
+    v = bv2.verify_batch(cap_dev, nv44, fs_in=44_100)
+    dt = time.perf_counter() - t0
+    v2["capture44.1k"] = dict(accept=float(np.mean(v)), secs=round(dt, 3),
+                              audio_sec_per_sec=round(
+                                  B * T44 / 44_100 / dt, 1))
     report["robust_v2(loud tone host)"] = v2
 
     out = json.dumps(report, indent=2)

@@ -590,12 +590,14 @@ class RobustBatchVerifier(BatchVerifier):
     def _ingest(self, clips, n_valid, fs_in: int):
         """Device rate conversion ``fs_in`` -> ``self.fs`` for a batch.
 
-        The output width is padded up to a 16384 bucket: the verify
+        The output width is padded up to a 4096 bucket: the verify
         stage compiles per clip width (minutes each on TPU), so an
         arbitrary ``ceil(t_in * up/down)`` width must not leak out of
-        here.  The pad region is exactly zero (the resampler masks past
-        ``n_out``) and sits past ``n_valid``, which every downstream
-        stage masks by.
+        here.  (4096, not a larger bucket, so callers can land on the
+        conv-honest smooth widths like 184320 = 4096*45 that the 48 kHz
+        paths compile.)  The pad region is exactly zero (the resampler
+        masks past ``n_out``) and sits past ``n_valid``, which every
+        downstream stage masks by.
         """
         from math import gcd
 
@@ -606,7 +608,7 @@ class RobustBatchVerifier(BatchVerifier):
         t_in = int(np.shape(clips)[-1])
         rs = DeviceResampler(up, down, down, t_in)  # cheap; stages cached
         y, n_out = rs(jnp.asarray(clips, dtype=jnp.float32), down)
-        bucket = -(-n_out // 16384) * 16384
+        bucket = -(-n_out // 4096) * 4096
         if y.shape[-1] < bucket:
             y = jnp.pad(y, ((0, 0), (0, bucket - y.shape[-1])))
         nv = np.minimum(np.asarray(n_valid).astype(np.int64) * up // down,
