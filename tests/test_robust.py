@@ -41,11 +41,11 @@ def test_v2_reverb_acoustic_capture(key32, wm_loud_host):
     """Acoustic capture: v2 survives room reverb (the reference's "3 s
     smartphone recording" scenario, README.md:10 -- untested there).
 
-    Measured envelope (this round, CPU + chip-identical math): hard
-    decode to ~12 dB direct-to-reverb ratio, SCL rung carries far-field
-    0 dB at RT60 up to 400 ms.  Pinned here at a mid point (6 dB, 150 ms
-    -- phone at arm's length) and the far-field extreme; the wrong-key
-    rejection must hold under reverb too.
+    Measured envelope (benchmarks/reverb_envelope.json): hard decode to
+    12 dB direct-to-reverberant ratio, SCL rung carries 6..0 dB at every
+    RT60 up to 800 ms, boundary -3 dB.  Pinned here at a mid point
+    (6 dB, 150 ms -- phone at arm's length) and a far-field extreme; the
+    wrong-key rejection must hold under reverb too.
     """
     rv = RobustVerifier(key32)
     mid = channels.reverb(wm_loud_host, 150.0, direct_to_reverb_db=6.0,
