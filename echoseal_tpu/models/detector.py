@@ -86,15 +86,16 @@ def _pad_bucket(n: int) -> int:
     return b
 
 
-def _cand_bucket(n: int) -> int:
-    """Candidate-count bucket: next power of two, floor 32.
+def _cand_bucket(n: int, floor: int = 32) -> int:
+    """Batch-size bucket: next power of two, default floor 32.
 
-    The per-clip candidate count varies arbitrarily (peaks x counters x
-    profiles, up to 2*MAX_TRIES); without bucketing every distinct count
-    would trigger a fresh XLA compile of ``_llr_stage`` -- minutes each on
-    TPU -- making single-clip latency unpredictable.
+    Row counts vary arbitrarily (candidates per clip, failing clips per
+    batch, windows per monitor feed); without bucketing every distinct
+    count would trigger a fresh XLA compile of the stage -- minutes each
+    on TPU.  The shared helper keeps every padded dispatch in the repo on
+    the same bucket ladder.
     """
-    b = 32
+    b = floor
     while b < n:
         b <<= 1
     return b
@@ -213,9 +214,17 @@ class VerifyResult:
 class WatermarkDetector:
     """Public verifier surface (reference rtwm/__init__.py:9-12 parity)."""
 
-    def __init__(self, key32: bytes, *, fs_target: int = 48_000,
-                 list_size: int = 256, params: RxParams | None = None) -> None:
-        self.p = params or RxParams(fs_target=fs_target, list_size=list_size)
+    def __init__(self, key32: bytes, *, fs_target: int | None = None,
+                 list_size: int | None = None,
+                 params: RxParams | None = None) -> None:
+        # explicit kwargs win over the params container (they used to be
+        # silently discarded when both were given)
+        from dataclasses import replace
+
+        base = params or RxParams()
+        over = {k: v for k, v in (("fs_target", fs_target),
+                                  ("list_size", list_size)) if v is not None}
+        self.p = replace(base, **over) if over else base
         self.sec = SecureChannel(key32)
         self._hop = hop_schedule(key32)
         self.fs_target = self.p.fs_target

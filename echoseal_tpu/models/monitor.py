@@ -167,7 +167,13 @@ class BatchStreamMonitor:
             starts.append(self._pos)
             self._buf = self._buf[self.hop :]
             self._pos += self.hop
-        return self._verify_windows(wins, starts)
+        events = self._verify_windows(wins, starts)
+        if wins:
+            # detach the tail from the concatenated feed buffer: a numpy
+            # VIEW keeps the WHOLE recording alive via .base (a 1 h feed
+            # would pin ~690 MB behind a <4 s remainder)
+            self._buf = self._buf.copy()
+        return events
 
     def flush(self) -> list[MonitorEvent]:
         """Verify whatever trailing audio remains (if long enough)."""
@@ -192,9 +198,9 @@ class BatchStreamMonitor:
         for c0 in range(0, len(wins), self.MAX_ROWS):
             wchunk = wins[c0 : c0 + self.MAX_ROWS]
             schunk = starts[c0 : c0 + self.MAX_ROWS]
-            rows = 4
-            while rows < len(wchunk):  # power-of-two bucket: stable compiles
-                rows <<= 1
+            from echoseal_tpu.models.detector import _cand_bucket
+
+            rows = _cand_bucket(len(wchunk), floor=4)
             batch = np.zeros((rows, self._tpad), np.float32)
             nv = np.zeros(rows, np.int32)
             for i, w in enumerate(wchunk):

@@ -148,6 +148,11 @@ def _batch_verify_stage(
     host_packed = _pack_host_row(sel_ok, sel_ctr, blob)
 
     return dict(
+        # host_packed is the host TRANSPORT (one download); ok/blob/
+        # blob_ctr are its unpacked device-side views, kept for the
+        # sharded dryrun's per-clip asserts (parallel/dryrun.py) and
+        # debugging -- bytes-scale, never separately downloaded in
+        # production paths
         ok=sel_ok, blob=blob, blob_ctr=sel_ctr,
         host_packed=host_packed,   # (B, 60) -- ONE host download
         crc_ok=crc_ok,             # (B, 4, P)
@@ -360,9 +365,14 @@ class BatchVerifier:
         with Timer("pipeline.compat_batch"):
             out = self.run_device(clips, n_valid)
             verdicts = self.finish_host(out, expected_nonce=expected_nonce)
-        if not verdicts.all():
+        # n_valid == 0 rows are bucket padding (monitor / retry callers):
+        # they can never verify, so they must not trigger escalation
+        real = (np.asarray(n_valid) > 0 if n_valid is not None
+                else np.ones(verdicts.shape, bool))
+        pending = real & ~verdicts
+        if pending.any():
             verdicts |= self._extended_counter_pass(
-                out, ~verdicts, expected_nonce, max_stream_frames)
+                out, pending, expected_nonce, max_stream_frames)
         _LOG.event("compat_batch", B=int(verdicts.size),
                    accepted=int(verdicts.sum()))
         return verdicts
@@ -584,8 +594,9 @@ class RobustBatchVerifier(BatchVerifier):
                                   np.int32)
             clips, n_valid = self._ingest(clips, n_valid, int(fs_in))
         out = self.run_device(clips, n_valid)
+        real = (np.asarray(n_valid) > 0) if n_valid is not None else None
         return self._finish_ladder(out, expected_nonce, use_scl,
-                                   max_stream_frames)
+                                   max_stream_frames, real=real)
 
     def _ingest(self, clips, n_valid, fs_in: int):
         """Device rate conversion ``fs_in`` -> ``self.fs`` for a batch.
@@ -605,6 +616,12 @@ class RobustBatchVerifier(BatchVerifier):
 
         g = gcd(self.fs, fs_in)
         up, down = self.fs // g, fs_in // g
+        # decimating ratios reduce to tiny lattices (96 kHz -> up=1,
+        # down=2) whose window tensor would be ~(width/down)x the input
+        # batch -- scale the lattice so each window yields >=128 outputs
+        # and the overhang stays a small fraction of the stride
+        m = -(-128 // up)
+        up, down = up * m, down * m
         t_in = int(np.shape(clips)[-1])
         rs = DeviceResampler(up, down, down, t_in)  # cheap; stages cached
         y, n_out = rs(jnp.asarray(clips, dtype=jnp.float32), down)
@@ -616,18 +633,29 @@ class RobustBatchVerifier(BatchVerifier):
         return y[:, :bucket], nv
 
     def _finish_ladder(self, out, expected_nonce, use_scl: bool,
-                       max_stream_frames: int) -> np.ndarray:
-        """Hard verdicts -> SCL fallback -> extended-counter escalation."""
+                       max_stream_frames: int,
+                       real: np.ndarray | None = None) -> np.ndarray:
+        """Hard verdicts -> SCL fallback -> extended-counter escalation.
+
+        ``real`` masks bucket-padding rows (n_valid == 0, from the
+        monitor / retry callers): they can never verify, so without the
+        mask every padded dispatch would run the whole escalation ladder
+        even when all real clips already passed the hard stage.
+        """
         with Timer("pipeline.v2_batch"):
             verdicts, _ = self.finish_host_detailed(
                 out, expected_nonce=expected_nonce)
+        if real is None:
+            real = np.ones(verdicts.shape, bool)
         n_hard = int(verdicts.sum())
-        if use_scl and not verdicts.all():
+        pending = real & ~verdicts
+        if use_scl and pending.any():
             with Timer("pipeline.v2_scl"):
-                verdicts |= self._scl_fallback(out, ~verdicts, expected_nonce)
-        if not verdicts.all():
+                verdicts |= self._scl_fallback(out, pending, expected_nonce)
+            pending = real & ~verdicts
+        if pending.any():
             verdicts |= self._extended_counter_pass(
-                out, ~verdicts, expected_nonce, max_stream_frames)
+                out, pending, expected_nonce, max_stream_frames)
         _LOG.event("v2_batch", B=int(verdicts.size), hard=n_hard,
                    accepted=int(verdicts.sum()))
         return verdicts
@@ -663,8 +691,10 @@ class RobustBatchVerifier(BatchVerifier):
 
         clips_dev = jnp.asarray(clips)
         out = self.run_device(clips_dev, n_valid)
-        verdicts = self._finish_ladder(out, expected_nonce, True, 1 << 20)
-        fail = np.flatnonzero(~verdicts)
+        real = n_valid > 0
+        verdicts = self._finish_ladder(out, expected_nonce, True, 1 << 20,
+                                       real=real)
+        fail = np.flatnonzero(real & ~verdicts)
         if fail.size == 0:
             return verdicts
 
@@ -674,8 +704,10 @@ class RobustBatchVerifier(BatchVerifier):
         score_parts: list[np.ndarray] = []
         for c0 in range(0, fail.size, CHUNK):
             idx = fail[c0:c0 + CHUNK]
-            # pad to a power-of-two bucket: one compile per bucket size
-            bucket = min(CHUNK, 1 << max(0, int(idx.size - 1).bit_length()))
+            # pad to a power-of-two bucket (floor 1): one compile per size
+            from echoseal_tpu.models.detector import _cand_bucket as _cb
+
+            bucket = min(CHUNK, _cb(idx.size, floor=1))
             pad_idx = np.zeros(bucket, dtype=np.int32)
             pad_idx[:idx.size] = idx
             s = np.asarray(_scale_scan_batch(
@@ -729,6 +761,7 @@ class RobustBatchVerifier(BatchVerifier):
 
         from scipy.signal import resample_poly
 
+        from echoseal_tpu.models.detector import _cand_bucket
         from echoseal_tpu.models.robust import estimate_timescale_from_peaks
 
         if not factors:
@@ -752,10 +785,7 @@ class RobustBatchVerifier(BatchVerifier):
             if rs is not None and rs.down_min <= den <= rs.down_max:
                 # bucket the gather so the resample stage compiles once
                 # per power-of-two batch size, not per group size
-                mb = 32
-                while mb < len(members):
-                    mb <<= 1
-                midx = np.zeros(mb, np.int32)
+                midx = np.zeros(_cand_bucket(len(members)), np.int32)
                 midx[: len(members)] = members
                 y, n_out = rs(clips_dev[jnp.asarray(midx)], den)
                 dev_rows.append(y[: len(members), :Tpad])
@@ -782,9 +812,7 @@ class RobustBatchVerifier(BatchVerifier):
         # batch size would otherwise cost a fresh XLA compile of the v2
         # stage -- minutes each on TPU
         n_rows = len(sel)
-        bucket = 32
-        while bucket < n_rows:
-            bucket <<= 1
+        bucket = _cand_bucket(n_rows)
         parts: list[jnp.ndarray] = list(dev_rows)
         if rows:
             parts.append(jnp.asarray(np.stack(rows)))
@@ -792,8 +820,10 @@ class RobustBatchVerifier(BatchVerifier):
             parts.append(jnp.zeros((bucket - n_rows, Tpad), jnp.float32))
             nv2.extend([0] * (bucket - n_rows))
         batch = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        out = self.run_device(batch, np.asarray(nv2, np.int32))
-        vr = self._finish_ladder(out, expected_nonce, True, 1 << 20)
+        nv2_arr = np.asarray(nv2, np.int32)
+        out = self.run_device(batch, nv2_arr)
+        vr = self._finish_ladder(out, expected_nonce, True, 1 << 20,
+                                 real=nv2_arr > 0)
         for r, i in enumerate(sel):
             verdicts[i] |= vr[r]
 

@@ -323,21 +323,24 @@ def _robust_scan(x, n_valid, templates, m_stack, hdr_pn_sy, pre_sy,
 class RobustVerifier:
     """Single-clip v2 verifier (same verify surface as WatermarkDetector)."""
 
-    def __init__(self, key32: bytes, *, fs_target: int = 48_000,
+    def __init__(self, key32: bytes, *, fs_target: int | None = None,
                  list_size: int | None = None,
                  profile: WaveformProfile = ROBUST,
                  timescale_grid: tuple[float, ...] | None = None,
                  table_dtype: str | None = None,
                  params=None) -> None:
-        # RxParams may supply list_size / timescale_grid defaults (explicit
-        # kwargs win); the compat detector reads the same container, so one
-        # config object drives both tiers
+        # RxParams may supply fs_target / list_size / timescale_grid
+        # defaults (explicit kwargs win); the compat detector reads the
+        # same container, so one config object drives both tiers
         if params is not None:
             if list_size is None:
                 list_size = params.list_size
             if timescale_grid is None and params.timescale_grid:
                 timescale_grid = params.timescale_grid
-            fs_target = params.fs_target
+            if fs_target is None:
+                fs_target = params.fs_target
+        if fs_target is None:
+            fs_target = 48_000
         if list_size is None:
             list_size = 32
         if timescale_grid is None:

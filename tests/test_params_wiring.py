@@ -116,3 +116,27 @@ def test_detector_legacy_plaintext_gate(key32):
     d2 = WatermarkDetector(key32,
                            params=RxParams(accept_legacy_plaintext=False))
     assert d2._accept(bits, 5) is None
+
+
+def test_explicit_kwargs_win_over_params(key32):
+    """Explicit ctor kwargs override the RxParams container.
+
+    Both used to be silently discarded when ``params`` was given
+    (detector built its RxParams only when params was None; the robust
+    verifier overwrote fs_target from params unconditionally).
+    """
+    from echoseal_tpu.models.detector import WatermarkDetector
+    from echoseal_tpu.models.robust import RobustVerifier
+
+    d = WatermarkDetector(key32, list_size=8, params=RxParams())
+    assert d._list_size == 8
+    assert d.p.fs_target == 48_000            # untouched fields keep params
+    d2 = WatermarkDetector(key32, fs_target=44_100,
+                           params=RxParams(list_size=16))
+    assert d2.fs_target == 44_100 and d2._list_size == 16
+
+    rv = RobustVerifier(key32, list_size=8,
+                        params=RxParams(list_size=64,
+                                        timescale_grid=(1.0, 1.01)))
+    assert rv._list_size == 8
+    assert rv.timescale_grid == (1.0, 1.01)   # non-overridden field flows
