@@ -166,6 +166,28 @@ def test_v2_batch_ingest_44k1(key32, v2_batch):
     assert bool(dev[0]) and not bool(dev[3])
 
 
+def test_v2_batch_ingest_96k_decimation(key32, v2_batch):
+    """Decimating ingest (96 kHz capture) through the scaled lattice.
+
+    96 kHz reduces to up=1/down=2, which _ingest rescales to a >=128
+    lattice so the window tensor stays ~1.4x the input batch instead of
+    ~55x.  T_in = 2*(1<<18) lands the output exactly on the corpus'
+    1<<18 width (shared stage compile).  Only rows with wide margins are
+    pinned absolutely (clean accept / no-wm reject).
+    """
+    from scipy.signal import resample_poly
+
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    clips, nv = v2_batch
+    cap = resample_poly(clips.astype(np.float64), 2, 1,
+                        axis=-1).astype(np.float32)       # (4, 2*(1<<18))
+    assert cap.shape[-1] == 2 * (1 << 18)
+    dev = RobustBatchVerifier(key32, max_ctr=4096).verify_batch(
+        cap, nv.astype(np.int64) * 2, fs_in=96_000)
+    assert bool(dev[0]) and not bool(dev[3])
+
+
 def test_robust_batch_timescale_recovery(key32, v2_batch, monkeypatch):
     """Batched +-5% playback-speed recovery with no caller hint.
 
