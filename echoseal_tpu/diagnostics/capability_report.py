@@ -66,4 +66,18 @@ def main(key: bytes = b"\xaa" * 32, seconds: float = 4.0) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Measured capability envelope: accept rates across "
+                    "hosts x impairments (JSON to stdout).")
+    ap.add_argument("--seconds", type=float, default=4.0)
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="cpu forces XLA:CPU (e.g. when the accelerator "
+                         "backend is down -- its init HANGS, not errors)")
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    main(seconds=args.seconds)

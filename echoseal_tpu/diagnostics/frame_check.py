@@ -61,4 +61,15 @@ def main(key: bytes = b"\xaa" * 32) -> None:
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="cpu forces XLA:CPU (the accelerator backend "
+                         "HANGS on init when down)")
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     main()

@@ -65,4 +65,17 @@ def main(trials: int = 16, list_size: int = 8) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--trials", type=int, default=16)
+    ap.add_argument("--list-size", type=int, default=8)
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="cpu forces XLA:CPU (the accelerator backend "
+                         "HANGS on init when down)")
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    main(trials=args.trials, list_size=args.list_size)
