@@ -71,9 +71,35 @@ def main() -> None:
             print(f"d2r={d2r:>5} rt60={rt:>5}: "
                   f"accept={rows[-1]['accept']:.2f} stages={stages}")
 
+    # combined impairments: does acoustic capture stack with the rest?
+    def rev(x, d2r=6.0):
+        return channels.reverb(x, 150.0, direct_to_reverb_db=d2r,
+                               rng=np.random.default_rng(9))
+
+    cases = {
+        "reverb6+mp3sim": channels.codec_sim(rev(wm), 128.0)[:T],
+        "mp3sim+reverb6": rev(channels.codec_sim(wm, 128.0)[:T]),
+        "reverb6+excerpt3s": channels.excerpt(
+            rev(wm), 3.0, rng=np.random.default_rng(2)),
+        # marginal row: reverb smears the sync peaks the time-scale
+        # estimator uses, so recovery of re-scaled playback through a
+        # 6 dB-DRR room is payload-dependent (measured both accept and
+        # reject across session nonces) -- treat this row as a coin,
+        # not a guarantee
+        "reverb6+timescale1.031": channels.time_scale(rev(wm), 1.031),
+    }
+    combined = {}
+    for name, y in cases.items():
+        rv.session_nonce = None
+        r = rv.verify_detailed(np.ascontiguousarray(y), fs)
+        combined[name] = {"accept": bool(r.authentic),
+                          "stage": getattr(r, "stage", None)}
+        print(f"{name}: {combined[name]}")
+
     report = {"platform": jax.default_backend(),
               "host": "700 Hz tone, watermark ~11x below",
-              "clip_s": 3.5, "draws": args.draws, "rows": rows}
+              "clip_s": 3.5, "draws": args.draws, "rows": rows,
+              "combined": combined}
     out = json.dumps(report, indent=2)
     print(out)
     Path(args.out).write_text(out)
