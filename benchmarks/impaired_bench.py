@@ -90,6 +90,18 @@ def main() -> None:
     report: dict = {"batch": {"compat": args.batch, "robust": args.v2_batch},
                     "platform": jax.default_backend()}
 
+    def guard(section: dict, name: str, fn):
+        """One row dying must not kill the whole artifact (the round-3
+        chip rerun lost every row to a single resampler OOM)."""
+        import traceback
+
+        try:
+            section[name] = fn()
+        except Exception:  # noqa: BLE001 -- recorded, run continues
+            err = traceback.format_exc(limit=3).strip().splitlines()[-1]
+            section[name] = dict(error=err)
+            print(f"# impaired row {name!r} failed: {err}", file=sys.stderr)
+
     # ---------------- compat profile, batched pipeline --------------------
     be = BatchEmbedder(key)
     n_frames = -(-T // FRAME_LEN)
@@ -107,19 +119,22 @@ def main() -> None:
     bv.verify_batch(jax.device_put(jax.numpy.asarray(warm)), nv)
     compat = {}
     for name, f in impair.items():
-        clips = np.zeros((args.batch, Tpad), dtype=np.float32)
-        for i in range(args.batch):
-            y = f(base[i].copy())
-            clips[i, : min(y.size, T)] = y[:T]
-        clips_dev = jax.device_put(jax.numpy.asarray(clips))
-        # force the (async) upload to complete before the timed region --
-        # block_until_ready is a no-op on tunneled backends, so materialize
-        # a device-side reduction instead
-        float(np.asarray(jax.numpy.sum(clips_dev)))
-        t0 = time.perf_counter()
-        v = bv.verify_batch(clips_dev, nv)
-        compat[name] = dict(accept=float(np.mean(v)),
-                            secs=round(time.perf_counter() - t0, 3))
+        def compat_row(f=f):
+            clips = np.zeros((args.batch, Tpad), dtype=np.float32)
+            for i in range(args.batch):
+                y = f(base[i].copy())
+                clips[i, : min(y.size, T)] = y[:T]
+            clips_dev = jax.device_put(jax.numpy.asarray(clips))
+            # force the (async) upload to complete before the timed region
+            # -- block_until_ready is a no-op on tunneled backends, so
+            # materialize a device-side reduction instead
+            float(np.asarray(jax.numpy.sum(clips_dev)))
+            t0 = time.perf_counter()
+            v = bv.verify_batch(clips_dev, nv)
+            return dict(accept=float(np.mean(v)),
+                        secs=round(time.perf_counter() - t0, 3))
+
+        guard(compat, name, compat_row)
     report["compat"] = compat
 
     # ---------------- robust v2 profile, batched pipeline ------------------
@@ -148,30 +163,62 @@ def main() -> None:
         L = min(y.size, Tpad)
         warm3[i, :L] = y[:L]
         nvw[i] = L
-    bv2.verify_batch_recover(warm3, nvw)
     v2 = {}
-    for name, f in impair.items():
-        clips = np.zeros((B, Tpad), dtype=np.float32)
-        nvr = nv2.copy()
+    guard(v2, "_recover_warmup",
+          lambda: dict(ok=bool(np.any(bv2.verify_batch_recover(warm3, nvw)))))
+
+    # Warm the SCL-escalation ladder with a codec-impaired batch: the
+    # staged fallback dispatches per power-of-two bucket of still-failing
+    # rows, and those buckets only compile the first time a row needs
+    # them.  Without this, the mp3/reverb rows time XLA compiles instead
+    # of steady-state serving (measured: 235 s vs 26 s for the mp3 row).
+    def warm_escalation():
+        warm4 = np.zeros((B, Tpad), dtype=np.float32)
         for i in range(B):
-            y = f(base2[i].copy())
-            L = min(y.size, Tpad)
-            clips[i, :L] = y[:L]
-            nvr[i] = L
-        if "timescale" in name:
-            # the recovery ladder corrects on device (ops/resample.py) but
-            # takes host clips (host resample_poly remains the fallback for
-            # out-of-family factors), so its timing includes the one upload
-            t0 = time.perf_counter()
-            v = bv2.verify_batch_recover(clips, nvr)
-        else:
-            clips_dev = jax.device_put(jax.numpy.asarray(clips))
-            float(np.asarray(jax.numpy.sum(clips_dev)))   # upload barrier
-            t0 = time.perf_counter()
-            v = bv2.verify_batch(clips_dev, nvr)
-        dt = time.perf_counter() - t0
-        v2[name] = dict(accept=float(np.mean(v)), secs=round(dt, 3),
+            y = channels.codec_sim(base2[i].copy(), 128.0)[:T]
+            warm4[i, : y.size] = y
+        v = bv2.verify_batch(jax.device_put(jax.numpy.asarray(warm4)), nv2)
+        return dict(ok=bool(np.any(v)))
+
+    guard(v2, "_escalation_warmup", warm_escalation)
+
+    # One AWGN row INSIDE the measured envelope (benchmarks/
+    # awgn_envelope.json): the +6/-15 dB rows above are clip-relative --
+    # against this loud host that is ~-15/-36 dB re the WATERMARK, far
+    # outside any physically decodable point (core/profiles.py), so they
+    # pin rejection.  This row scales the noise against the measured
+    # watermark component at +6 dB wm-relative, where the envelope says
+    # v2 must still accept.
+    wm_pow = float(np.mean((stream[: host.size] - host) ** 2))
+    delta_db = 10.0 * np.log10(float(np.mean(host**2)) / wm_pow)
+    impair[f"awgn(wm+6dB={6 + delta_db:.0f}dB-clip)"] = (
+        lambda x: channels.awgn(x, 6.0 + delta_db, rng))
+    for name, f in impair.items():
+        def v2_row(name=name, f=f):
+            clips = np.zeros((B, Tpad), dtype=np.float32)
+            nvr = nv2.copy()
+            for i in range(B):
+                y = f(base2[i].copy())
+                L = min(y.size, Tpad)
+                clips[i, :L] = y[:L]
+                nvr[i] = L
+            if "timescale" in name:
+                # the recovery ladder corrects on device (ops/resample.py)
+                # but takes host clips (host resample_poly remains the
+                # fallback for out-of-family factors), so its timing
+                # includes the one upload
+                t0 = time.perf_counter()
+                v = bv2.verify_batch_recover(clips, nvr)
+            else:
+                clips_dev = jax.device_put(jax.numpy.asarray(clips))
+                float(np.asarray(jax.numpy.sum(clips_dev)))  # upload barrier
+                t0 = time.perf_counter()
+                v = bv2.verify_batch(clips_dev, nvr)
+            dt = time.perf_counter() - t0
+            return dict(accept=float(np.mean(v)), secs=round(dt, 3),
                         audio_sec_per_sec=round(B * T / fs / dt, 1))
+
+        guard(v2, name, v2_row)
 
     # 44.1 kHz capture: device ingest rate conversion at serving scale.
     # Tpad44 = 147*1152 makes the ingest output land exactly on the
@@ -179,23 +226,25 @@ def main() -> None:
     # buckets output widths to 4096).
     from scipy.signal import resample_poly
 
-    T44 = T * 147 // 160
-    Tpad44 = 169_344
-    cap = np.zeros((B, Tpad44), dtype=np.float32)
-    for i in range(B):
-        y44 = resample_poly(base2[i].astype(np.float64), 147,
-                            160).astype(np.float32)
-        cap[i, : min(y44.size, Tpad44)] = y44[:Tpad44]
-    nv44 = np.full(B, T44, dtype=np.int32)
-    cap_dev = jax.device_put(jax.numpy.asarray(cap))
-    float(np.asarray(jax.numpy.sum(cap_dev)))         # upload barrier
-    bv2.verify_batch(cap_dev, nv44, fs_in=44_100)     # warm: ingest stage
-    t0 = time.perf_counter()
-    v = bv2.verify_batch(cap_dev, nv44, fs_in=44_100)
-    dt = time.perf_counter() - t0
-    v2["capture44.1k"] = dict(accept=float(np.mean(v)), secs=round(dt, 3),
-                              audio_sec_per_sec=round(
-                                  B * T44 / 44_100 / dt, 1))
+    def capture_row():
+        T44 = T * 147 // 160
+        Tpad44 = 169_344
+        cap = np.zeros((B, Tpad44), dtype=np.float32)
+        for i in range(B):
+            y44 = resample_poly(base2[i].astype(np.float64), 147,
+                                160).astype(np.float32)
+            cap[i, : min(y44.size, Tpad44)] = y44[:Tpad44]
+        nv44 = np.full(B, T44, dtype=np.int32)
+        cap_dev = jax.device_put(jax.numpy.asarray(cap))
+        float(np.asarray(jax.numpy.sum(cap_dev)))      # upload barrier
+        bv2.verify_batch(cap_dev, nv44, fs_in=44_100)  # warm: ingest stage
+        t0 = time.perf_counter()
+        v = bv2.verify_batch(cap_dev, nv44, fs_in=44_100)
+        dt = time.perf_counter() - t0
+        return dict(accept=float(np.mean(v)), secs=round(dt, 3),
+                    audio_sec_per_sec=round(B * T44 / 44_100 / dt, 1))
+
+    guard(v2, "capture44.1k", capture_row)
     report["robust_v2(loud tone host)"] = v2
 
     out = json.dumps(report, indent=2)

@@ -155,16 +155,39 @@ def _resample_stage(x: jnp.ndarray, taps: jnp.ndarray, off: jnp.ndarray,
     xp = jnp.pad(x, ((0, 0), (pad_left, width)))
     starts = (jnp.arange(n_blocks, dtype=jnp.int32) * down
               + (s0 + pad_left))
-    win = slice_windows(xp, jnp.broadcast_to(starts, (B, n_blocks)), width)
-    acc = jnp.zeros((B, n_blocks, up), x.dtype)
-    for t in range(taps.shape[1]):
-        # ONE gather of `up` rows spanning (B, n_blocks) each -- never a
-        # per-sample index lattice (see slice_windows' docstring for the
-        # per-row-op cost model on this backend).
-        v = jnp.take(win, off + t, axis=-1)        # (B, n_blocks, up)
-        acc = acc + v * taps[:, t]
-    y = acc.reshape(B, n_blocks * up)
-    return y * (jnp.arange(n_blocks * up) < n_out)
+    # HBM policy: each per-tap gather materializes a (chunk, n_blocks, up)
+    # temp (TPU tiling pads n_blocks to 8: 1.6x expansion).  An unrolled
+    # tap loop over the full batch lets the XLA scheduler keep every
+    # gather's temp alive at once -- measured 38.17 GB program at B=1024
+    # on a 15.75 GB chip (OOM).  Two bounds fix that without giving up
+    # the row-granular gather: chunk the batch (lax.map serializes
+    # chunks) and serialize the tap loop (lax.fori_loop reuses the
+    # accumulator buffer), so live temps stay ~3 chunk-sized arrays.
+    row = n_blocks * up
+    chunk = max(1, min(B, (32 << 20) // row))      # ~128 MB f32 per temp
+    n_ch = -(-B // chunk)
+    xpc = jnp.pad(xp, ((0, n_ch * chunk - B), (0, 0)))
+    xpc = xpc.reshape(n_ch, chunk, xp.shape[1])
+    k_taps = taps.shape[1]
+
+    def _tap(t, carry):
+        win, acc = carry
+        # ONE gather of `up` rows spanning (chunk, n_blocks) each --
+        # never a per-sample index lattice (see slice_windows' docstring
+        # for the per-row-op cost model on this backend).
+        v = jnp.take(win, off + t, axis=-1)        # (chunk, n_blocks, up)
+        col = jax.lax.dynamic_slice_in_dim(taps, t, 1, axis=1)[:, 0]
+        return win, acc + v * col
+
+    def _chunk(xc):
+        win = slice_windows(
+            xc, jnp.broadcast_to(starts, (chunk, n_blocks)), width)
+        acc = jnp.zeros((chunk, n_blocks, up), x.dtype)
+        _, acc = jax.lax.fori_loop(0, k_taps, _tap, (win, acc))
+        return acc.reshape(chunk, row)
+
+    y = jax.lax.map(_chunk, xpc).reshape(n_ch * chunk, row)[:B]
+    return y * (jnp.arange(row) < n_out)
 
 
 class DeviceResampler:
