@@ -134,12 +134,26 @@ def resample_plan(up: int, down: int, k_taps: int | None = None
     return taps.astype(np.float32), off, s0
 
 
+def _chunk_rows(batch: int, row: int) -> int:
+    """Rows per lax.map chunk: ~128 MB of f32 per per-tap temp.
+
+    Overridable via ``ECHOSEAL_RESAMPLE_CHUNK_ELEMS`` (tests set it tiny
+    to exercise the multi-chunk path on toy shapes).
+    """
+    import os
+
+    budget = int(os.environ.get("ECHOSEAL_RESAMPLE_CHUNK_ELEMS", 32 << 20))
+    return max(1, min(batch, budget // row))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("up", "width", "n_blocks", "pad_left"))
+                   static_argnames=("up", "width", "n_blocks", "pad_left",
+                                    "chunk"))
 def _resample_stage(x: jnp.ndarray, taps: jnp.ndarray, off: jnp.ndarray,
                     s0: jnp.ndarray, down: jnp.ndarray,
                     n_out: jnp.ndarray, *, up: int, width: int,
-                    n_blocks: int, pad_left: int = _PAD_LEFT) -> jnp.ndarray:
+                    n_blocks: int, pad_left: int = _PAD_LEFT,
+                    chunk: int | None = None) -> jnp.ndarray:
     """(B, T) float32 -> (B, n_blocks*up) resampled, zero past ``n_out``.
 
     Everything factor-dependent (``taps``/``off``/``s0``/``down``/
@@ -164,7 +178,8 @@ def _resample_stage(x: jnp.ndarray, taps: jnp.ndarray, off: jnp.ndarray,
     # chunks) and serialize the tap loop (lax.fori_loop reuses the
     # accumulator buffer), so live temps stay ~3 chunk-sized arrays.
     row = n_blocks * up
-    chunk = max(1, min(B, (32 << 20) // row))      # ~128 MB f32 per temp
+    if chunk is None:
+        chunk = _chunk_rows(B, row)
     n_ch = -(-B // chunk)
     xpc = jnp.pad(xp, ((0, n_ch * chunk - B), (0, 0)))
     xpc = xpc.reshape(n_ch, chunk, xp.shape[1])
@@ -235,7 +250,8 @@ class DeviceResampler:
             x, jnp.asarray(taps), jnp.asarray(off), jnp.int32(s0),
             jnp.int32(down), jnp.int32(min(n_out, self.n_blocks * self.up)),
             up=self.up, width=self.width, n_blocks=self.n_blocks,
-            pad_left=self.pad_left)
+            pad_left=self.pad_left,
+            chunk=_chunk_rows(x.shape[0], self.n_blocks * self.up))
         return y, n_out
 
 

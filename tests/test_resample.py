@@ -82,6 +82,27 @@ def test_downsampling_ratios():
         assert _rel_err(y, ref) < 1e-5
 
 
+def test_multi_chunk_path_parity(x3, monkeypatch):
+    """B > chunk exercises the lax.map multi-chunk path (the serving-
+    scale HBM bound; see _resample_stage's docstring) including the
+    ragged last chunk.  A tiny env budget forces chunking on toy shapes;
+    outputs must be identical to the single-chunk trace."""
+    monkeypatch.setenv("ECHOSEAL_RESAMPLE_CHUNK_ELEMS", "80000")
+    rs = DeviceResampler(up=1000, down_min=950, down_max=1050,
+                         t_in=x3.shape[-1])
+    # budget 80k elems / (42 blocks * 1000) -> chunk=1, so 3 rows = 3
+    # chunks; also check a ragged split via a 2-row slice (2 chunks of 1)
+    for xs in (x3, x3[:2]):
+        y, n_out = rs(jnp.asarray(xs), 1031)
+        ref = resample_poly(xs.astype(np.float64), 1000, 1031, axis=-1)
+        assert _rel_err(np.asarray(y), ref) < 1e-5
+    monkeypatch.delenv("ECHOSEAL_RESAMPLE_CHUNK_ELEMS")
+    y1, _ = rs(jnp.asarray(x3), 1031)
+    monkeypatch.setenv("ECHOSEAL_RESAMPLE_CHUNK_ELEMS", "80000")
+    y3, _ = rs(jnp.asarray(x3), 1031)
+    assert np.array_equal(np.asarray(y1), np.asarray(y3))
+
+
 def test_contract_errors(x3):
     rs = DeviceResampler(up=1000, down_min=950, down_max=1050,
                          t_in=x3.shape[-1])
