@@ -85,7 +85,12 @@ def _run_bench() -> None:
     fs = 48_000
     clip_s = 3.0
     T = int(clip_s * fs)
-    B = int(os.environ.get("ECHOSEAL_BENCH_B", "256"))
+    # B=1024 measured best on chip (this round's sweep): compat 9204x /
+    # v2 3793x vs 7398x / 2311x at B=256 -- the ~0.35 s dispatch+download
+    # round-trip amortizes with batch, and the marginal per-clip cost is
+    # flat past ~512.  Larger batches buy <5% more and double compile
+    # time, so 1024 is the knee.
+    B = int(os.environ.get("ECHOSEAL_BENCH_B", "1024"))
     rng = np.random.default_rng(0)
 
     extras: dict = {"platform": jax.default_backend()}
