@@ -1,0 +1,109 @@
+"""TX-side performance: streaming block latency + batched synthesis RTF.
+
+The reference's only TX perf claim is "< 50 ms loop latency" on a
+desktop (reference README.md:10,42 -- unmeasured).  This measures both
+TX tiers of this repo:
+
+* streaming -- ``WatermarkEmbedder.process`` on 1024-sample blocks (the
+  PortAudio cadence, 21.3 ms of audio per block): p50/p99 per-block
+  latency on the host path, which must sit far below 21.3 ms for
+  glitch-free real-time mixing.  Measured steady state (first blocks
+  amortize a frame synthesis each).
+* batch/serving -- ``BatchEmbedder.frames_device``: watermarked
+  audio-seconds synthesized per wall-second on device, steady state
+  (second timed call in-process; axon remote compiles don't cache
+  across processes).  Timed by a 4-element device slice download, not
+  a full-array fetch (the tunnel would dominate).
+
+Writes ``tx_bench.json``.
+
+Usage: python benchmarks/tx_bench.py [--out FILE] [--platform cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/tx_bench.json")
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    ap.add_argument("--blocks", type=int, default=2000)
+    ap.add_argument("--ctrs", type=int, default=2048,
+                    help="frames per device synthesis dispatch")
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from echoseal_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from echoseal_tpu.core.params import FRAME_LEN
+    from echoseal_tpu.models.embedder import BatchEmbedder, WatermarkEmbedder
+    from echoseal_tpu.models.robust import RobustEmbedder
+
+    key = bytes.fromhex("aa" * 32)
+    fs = 48_000
+    block = 1024
+    rng = np.random.default_rng(0)
+
+    # ---- streaming tier: per-block latency -------------------------------
+    def stream_lat(tx):
+        host = (0.1 * rng.standard_normal((args.blocks, block))).astype(
+            np.float32)
+        for i in range(50):                      # warm the frame ring
+            tx.process(host[i])
+        lat = np.empty(args.blocks - 50)
+        for i in range(50, args.blocks):
+            t0 = time.perf_counter()
+            tx.process(host[i])
+            lat[i - 50] = time.perf_counter() - t0
+        return {"p50_us": round(float(np.percentile(lat, 50)) * 1e6, 1),
+                "p99_us": round(float(np.percentile(lat, 99)) * 1e6, 1),
+                "max_us": round(float(lat.max()) * 1e6, 1),
+                "budget_us": round(block / fs * 1e6, 1)}
+
+    rows = {"stream_compat": stream_lat(WatermarkEmbedder(key)),
+            "stream_v2": stream_lat(RobustEmbedder(key))}
+    for k in ("stream_compat", "stream_v2"):
+        print(k, rows[k])
+
+    # ---- batch tier: device synthesis RTF --------------------------------
+    be = BatchEmbedder(key)
+    ctrs = np.arange(args.ctrs)
+
+    def run():
+        out = be.frames_device(ctrs, session_nonce=bytes(8))
+        return np.asarray(jax.device_get(out.ravel()[:4]))  # tiny barrier
+
+    run()                                        # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    audio_s = args.ctrs * FRAME_LEN / fs
+    rows["batch_tx_rtf"] = round(audio_s / best, 1)
+    rows["batch_tx_frames"] = args.ctrs
+    print("batch_tx_rtf", rows["batch_tx_rtf"])
+
+    rows["platform"] = jax.default_backend()
+    out = json.dumps(rows, indent=2)
+    print(out)
+    Path(args.out).write_text(out)
+
+
+if __name__ == "__main__":
+    main()
