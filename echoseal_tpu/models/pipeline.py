@@ -422,7 +422,8 @@ class BatchVerifier:
         bb = np.asarray([r[1] for r in rows])
         pp = np.asarray([r[2] for r in rows])
         chips_dev = out["chips"].reshape(B, 4, -1, FRAME_LEN)
-        chips = np.asarray(chips_dev[ii, bb, pp]).astype(np.float32)
+        with Timer("pipeline.ext_ctr_download"):
+            chips = np.asarray(chips_dev[ii, bb, pp]).astype(np.float32)
         ctrs = np.asarray([c for _, _, _, c in rows], dtype=np.int64)
         uniq, inv = np.unique(ctrs, return_inverse=True)
         pn = self.sec.pn_bits_batch(uniq, FRAME_LEN)[:, PRE_L + HDR_L :]
@@ -435,9 +436,10 @@ class BatchVerifier:
                 [chips, np.zeros((pad,) + chips.shape[1:], np.float32)])
             pn_sy = np.concatenate(
                 [pn_sy, np.ones((pad,) + pn_sy.shape[1:], np.float32)])
-        info, crc_ok = _llr_hard_stage(jnp.asarray(chips),
-                                       jnp.asarray(pn_sy), self._spec)
-        info = np.asarray(info)[:n]
+        with Timer("pipeline.ext_ctr_decode"):
+            info, crc_ok = _llr_hard_stage(jnp.asarray(chips),
+                                           jnp.asarray(pn_sy), self._spec)
+            info = np.asarray(info)[:n]
         for r in np.flatnonzero(np.asarray(crc_ok)[:n]):
             i = rows[r][0]
             if rescued[i]:
@@ -654,8 +656,9 @@ class RobustBatchVerifier(BatchVerifier):
                 verdicts |= self._scl_fallback(out, pending, expected_nonce)
             pending = real & ~verdicts
         if pending.any():
-            verdicts |= self._extended_counter_pass(
-                out, pending, expected_nonce, max_stream_frames)
+            with Timer("pipeline.v2_ext_ctr"):
+                verdicts |= self._extended_counter_pass(
+                    out, pending, expected_nonce, max_stream_frames)
         _LOG.event("v2_batch", B=int(verdicts.size), hard=n_hard,
                    accepted=int(verdicts.sum()))
         return verdicts
@@ -702,6 +705,8 @@ class RobustBatchVerifier(BatchVerifier):
             self.fs, self.profile.oversample))
         CHUNK = 128
         score_parts: list[np.ndarray] = []
+        _scan_t = Timer("pipeline.recover_scan")
+        _scan_t.__enter__()
         for c0 in range(0, fail.size, CHUNK):
             idx = fail[c0:c0 + CHUNK]
             # pad to a power-of-two bucket (floor 1): one compile per size
@@ -715,6 +720,7 @@ class RobustBatchVerifier(BatchVerifier):
                 jnp.asarray(n_valid[pad_idx]), bank))
             score_parts.append(s[:idx.size])
         scores = np.concatenate(score_parts)           # (n_fail, rows)
+        _scan_t.__exit__()
 
         per = scores.reshape(fail.size, len(SCALE_SCAN_GRID), 4).max(axis=2)
         med = np.median(per, axis=1)
@@ -725,9 +731,10 @@ class RobustBatchVerifier(BatchVerifier):
         passed = ((pb >= np.maximum(med + 2.0 * 1.4826 * mad, 1.15 * med))
                   & (np.abs(f - 1.0) > 1e-4))
         factors = {int(fail[i]): float(f[i]) for i in np.flatnonzero(passed)}
-        return self._retry_scaled(clips, n_valid, factors, verdicts,
-                                  expected_nonce, refine=True,
-                                  clips_dev=clips_dev)
+        with Timer("pipeline.recover_retry"):
+            return self._retry_scaled(clips, n_valid, factors, verdicts,
+                                      expected_nonce, refine=True,
+                                      clips_dev=clips_dev)
 
     def _device_resampler(self, t_in: int):
         """Family-compiled +-5% device resampler for ``t_in``-wide clips."""
@@ -864,7 +871,8 @@ class RobustBatchVerifier(BatchVerifier):
         packed = jnp.concatenate(
             [jax.lax.bitcast_convert_type(out["scl_llr"][idx], jnp.int32),
              out["scl_ctr"][idx].astype(jnp.int32)[..., None]], axis=-1)
-        host = np.asarray(packed)                 # (F, R, 1025) int32
+        with Timer("pipeline.scl_download"):
+            host = np.asarray(packed)             # (F, R, 1025) int32
         llr = np.ascontiguousarray(host[..., :1024]).view(
             np.float32).reshape(clips_f.size, R, 1024)
         ctrs = host[..., 1024]                    # (F, R)
@@ -891,9 +899,11 @@ class RobustBatchVerifier(BatchVerifier):
                 sub = np.concatenate(
                     [sub,
                      np.zeros((bucket - n_rows, sub.shape[1]), np.float32)])
-            res = scl_decode(jnp.asarray(sub), self._spec, self._list_size)
-            ok = np.asarray(res["crc_ok"])[:n_rows]
-            bits = np.asarray(res["info_bits"])[:n_rows]
+            with Timer(f"pipeline.scl_decode_b{bucket}"):
+                res = scl_decode(jnp.asarray(sub), self._spec,
+                                 self._list_size)
+                ok = np.asarray(res["crc_ok"])[:n_rows]
+                bits = np.asarray(res["info_bits"])[:n_rows]
             for r in range(n_rows):
                 i = clips_f[pending[r // w]]
                 if rescued[i]:

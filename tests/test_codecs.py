@@ -72,6 +72,72 @@ def test_v2_ratecv_capture(key32, v2_clip):
     assert RobustVerifier(key32).verify(y, 44_100) is True
 
 
+def test_mpeg1_filterbank_near_pr():
+    """The designed 512-tap window pair reconstructs at >=60 dB SNR.
+
+    Pins the data/pqmf512.py payload against the ISO filterbank
+    equations (utils/mpeg1.py analyze/synthesize) at the documented
+    integer delay of 481 samples and unit gain.
+    """
+    from echoseal_tpu.data.pqmf512 import DELAY
+    from echoseal_tpu.utils.mpeg1 import analyze, synthesize
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(32 * 300)
+    y = synthesize(analyze(x))
+    err = y[DELAY: DELAY + 6000] - x[:6000]
+    snr = 10 * np.log10(np.mean(x[:6000] ** 2) / np.mean(err ** 2))
+    assert snr >= 60.0 and DELAY == 481
+
+
+def test_mpeg1_bitstream_rate_and_loss():
+    """The Layer II stream is a REAL bitstream at the stated bitrate.
+
+    Byte count must equal the ISO frame budget exactly (1152 samples *
+    bitrate / fs bits per frame + the 60-bit stream header) -- nothing
+    can leak around the budget -- and the round-trip must be lossy but
+    close (a perceptual codec, not a passthrough).
+    """
+    from echoseal_tpu.utils.mpeg1 import DELAY, FRAME_SAMPLES, encode, \
+        roundtrip
+
+    rng = np.random.default_rng(1)
+    t = np.arange(int(1.5 * FS))
+    x = (0.3 * np.sin(2 * np.pi * 440 * t / FS)
+         + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    for br in (128, 192):
+        blob = encode(x, FS, br)
+        n_frames = -(-(x.size + DELAY) // FRAME_SAMPLES)
+        want_bits = 60 + n_frames * (FRAME_SAMPLES * br * 1000 // FS)
+        assert len(blob) == -(-want_bits // 8)
+        y = roundtrip(x, FS, br)
+        err = y - x
+        snr = 10 * np.log10(np.mean(x**2) / np.mean(err**2))
+        assert 10.0 < snr < 80.0 and not np.array_equal(y, x)
+    # decoder rejects a stream with a corrupted magic
+    bad = bytearray(encode(x[:FS], FS, 128))
+    bad[0] ^= 0xFF
+    from echoseal_tpu.utils.mpeg1 import decode
+
+    with pytest.raises(ValueError):
+        decode(bytes(bad))
+
+
+def test_v2_survives_mpeg1_l2_128k(key32, v2_clip):
+    """REAL MPEG-1 Layer II at 128 kbps: the reference's headline codec
+    claim (reference README.md:163), now an actual encode->decode
+    round-trip instead of the windowed-DFT simulation."""
+    y = channels.codec_mpeg1_l2(v2_clip, 128)
+    assert RobustVerifier(key32).verify(y, FS) is True
+    assert RobustVerifier(bytes.fromhex("44" * 32)).verify(y, FS) is False
+
+
+def test_v2_survives_mpeg1_l2_64k(key32, v2_clip):
+    """Measured envelope extends to 64 kbps mono Layer II."""
+    y = channels.codec_mpeg1_l2(v2_clip, 64)
+    assert RobustVerifier(key32).verify(y, FS) is True
+
+
 def test_compat_rejects_real_codec_gracefully(key32):
     """Compat (digitally-clean carrier) rejects an 8-bit trunk capture.
 
