@@ -33,6 +33,14 @@ class WaveformProfile:
     name: str
     oversample: int          # samples per chip
     standard_info_set: bool  # True = standard 5G convention
+    # payload rate knob (standard convention only): K = info+CRC bits of
+    # the Polar(1024, K) code.  Lower K buys AWGN margin with payload
+    # rate (the noise-capacity frontier, benchmarks/awgn_envelope.py
+    # --rates).  FLOOR: the sealed blob is AEAD nonce(12) + [magic(4) +
+    # ctr(4) + session nonce(8)] + tag(16) = 44 bytes, so K >= 44*8 + 8
+    # CRC = 360; K=448 (the reference rate) carries 11 extra sealed
+    # random-pad bytes.
+    payload_k: int = 448
 
     @property
     def frame_chips(self) -> int:
@@ -42,6 +50,15 @@ class WaveformProfile:
     def span(self) -> int:
         """Frame length in samples."""
         return FRAME_LEN * self.oversample
+
+    def __post_init__(self) -> None:
+        if self.payload_k != 448 and not self.standard_info_set:
+            raise ValueError("payload_k is a v2 (standard info set) knob; "
+                             "the compat wire format is fixed at K=448")
+        if not (360 <= self.payload_k <= 1016) or self.payload_k % 8:
+            raise ValueError("payload_k must be a multiple of 8 in "
+                             "[360, 1016] (AEAD envelope floor 44 bytes "
+                             "+ 8 CRC bits)")
 
 
 COMPAT = WaveformProfile("compat", oversample=1, standard_info_set=False)
@@ -66,4 +83,5 @@ def polar_spec_standard(N: int = 1024, K: int = 448, crc_size: int = 8):
 def profile_spec(profile: WaveformProfile):
     from echoseal_tpu.ops.polar import polar_spec
 
-    return polar_spec_standard() if profile.standard_info_set else polar_spec()
+    return (polar_spec_standard(K=profile.payload_k)
+            if profile.standard_info_set else polar_spec())

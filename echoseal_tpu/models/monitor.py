@@ -120,7 +120,11 @@ class BatchStreamMonitor:
     Semantics differences vs ``StreamMonitor`` (serving-tier semantics,
     models/pipeline.py finish_host_detailed):
 
-    * events carry ``stage='batch'`` and no per-frame detail;
+    * accepted events carry the accepting rung's detail (``frame_ctr``,
+      ``session_nonce``, ``stage`` in {'hard','scl','ext_ctr'}) via the
+      pipeline's per-clip ``ClipDetail`` plumbing, so a monitoring
+      deployment can tell WHICH session authenticated without re-running
+      the single-clip tier; rejected events carry ``stage='batch'``;
     * anti-replay is the CALLER's hook: pass ``expected_nonce`` to pin the
       session; without it any authentic session verifies (multi-tenant).
 
@@ -206,14 +210,20 @@ class BatchStreamMonitor:
             for i, w in enumerate(wchunk):
                 batch[i, : w.size] = w
                 nv[i] = w.size
+            details: dict = {}
             verdicts = self._bv.verify_batch(
-                batch, nv, expected_nonce=self.expected_nonce)
-            events.extend(
-                MonitorEvent(
+                batch, nv, expected_nonce=self.expected_nonce,
+                details=details)
+            for i, (w, s) in enumerate(zip(wchunk, schunk)):
+                d = details.get(i)
+                res = (VerifyResult(True, frame_ctr=d.frame_ctr,
+                                    session_nonce=d.session_nonce,
+                                    stage=d.stage)
+                       if bool(verdicts[i]) and d is not None
+                       else VerifyResult(bool(verdicts[i]), stage="batch"))
+                events.append(MonitorEvent(
                     t_start=s / self.fs,
                     t_end=(s + w.size) / self.fs,
-                    result=VerifyResult(bool(verdicts[i]), stage="batch"),
-                )
-                for i, (w, s) in enumerate(zip(wchunk, schunk))
-            )
+                    result=res,
+                ))
         return events

@@ -280,8 +280,12 @@ class RobustEmbedder:
         S = self.profile.oversample
         ctr = self.frame_ctr
         band = self._hop.band(ctr)
+        # sealed blob = AEAD nonce(12) + meta + tag(16) must land exactly
+        # on the spec's payload width; at K=448 that is 11 random-pad
+        # bytes, at the K=360 floor (low-rate profiles) zero
+        pad = self._spec.info_len // 8 - 28 - 16
         meta = (MAGIC + ctr.to_bytes(4, "big") + self._session_nonce
-                + secrets.token_bytes(11))
+                + secrets.token_bytes(pad))
         payload = self.sec.seal(meta)
         data_sy = bits_to_bpsk(encode_np(payload, self._spec))
         hdr_sy = bits_to_bpsk(header_bits(ctr)) * self._hdr_pn_sy

@@ -232,6 +232,33 @@ class DeviceResampler:
         n_out_max = -(-self.t_in * self.up // int(down_min))
         self.n_blocks = -(-n_out_max // self.up)
         self.down_min, self.down_max = int(down_min), int(down_max)
+        # per-factor plan cache holding DEVICE arrays: re-calling with a
+        # previously seen ``down`` must not re-upload the (up, k_taps)
+        # tap table -- on the tunneled backend that upload (4.6 MB at
+        # up=48000, ~0.58 s at ~8 MB/s) dominated the whole resample
+        # dispatch and, summed over the ~131 factors of a 1k-clip
+        # time-scale recovery, most of the recovery row's wall time
+        # (benchmarks/ladder_profile.json recover_retry).  LRU-capped:
+        # the retry lattice admits up to down_max-down_min+1 distinct
+        # denominators (~1.4 GB of device tables at up=12000), and a
+        # long-lived serving process must not leak HBM to factor churn.
+        self._plans: "dict[int, tuple]" = {}
+        self._plans_cap = 256
+
+    def _plan_dev(self, down: int):
+        plan = self._plans.pop(down, None)
+        if plan is None:
+            taps, off, s0 = resample_plan(self.up, down, self.k_taps)
+            if (s0 < -self.pad_left
+                    or int(off.max()) + self.k_taps > self.width):
+                raise ValueError(
+                    f"plan for down={down} exceeds the compiled "
+                    f"window (s0={s0}, off_max={int(off.max())})")
+            plan = (jax.device_put(taps), jax.device_put(off), s0)
+            while len(self._plans) >= self._plans_cap:
+                self._plans.pop(next(iter(self._plans)))
+        self._plans[down] = plan          # (re-)insert at LRU tail
+        return plan
 
     def __call__(self, x: jnp.ndarray, down: int
                  ) -> tuple[jnp.ndarray, int]:
@@ -241,13 +268,10 @@ class DeviceResampler:
                              f"[{self.down_min}, {self.down_max}]")
         if x.shape[-1] != self.t_in:
             raise ValueError(f"t_in={x.shape[-1]} != {self.t_in}")
-        taps, off, s0 = resample_plan(self.up, down, self.k_taps)
-        if s0 < -self.pad_left or int(off.max()) + self.k_taps > self.width:
-            raise ValueError(f"plan for down={down} exceeds the compiled "
-                             f"window (s0={s0}, off_max={int(off.max())})")
+        taps_dev, off_dev, s0 = self._plan_dev(down)
         n_out = -(-x.shape[-1] * self.up // down)
         y = _resample_stage(
-            x, jnp.asarray(taps), jnp.asarray(off), jnp.int32(s0),
+            x, taps_dev, off_dev, jnp.int32(s0),
             jnp.int32(down), jnp.int32(min(n_out, self.n_blocks * self.up)),
             up=self.up, width=self.width, n_blocks=self.n_blocks,
             pad_left=self.pad_left,

@@ -108,8 +108,49 @@ def run(n_devices: int) -> None:
     replay = bv.finish_host(out, expected_nonce=b"someone!")
     assert not replay.any(), "anti-replay nonce check accepted a replay"
 
+    # ---- sharded v2 (robust-profile) verify: the flagship tier -----------
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+    from echoseal_tpu.models.robust import RobustEmbedder
+    from echoseal_tpu.parallel.mesh import shard_verify_v2
+
+    tx2 = RobustEmbedder(key)
+    tx2._session_nonce = nonce
+    span = tx2.profile.span
+    T2 = 1 << 15                                  # 3 v2 frames = 29160
+    stream2 = tx2.process(np.zeros((3 + n_devices) * span, dtype=np.float32))
+    # one clip per device, each cut at a DIFFERENT frame counter so the
+    # header-based absolute resolution is exercised shard-locally
+    clips2 = np.zeros((n_devices, T2), dtype=np.float32)
+    for d in range(n_devices):
+        clips2[d] = stream2[d * span: d * span + T2]
+    nv2 = np.full(n_devices, T2, dtype=np.int32)
+
+    bv2 = RobustBatchVerifier(key, max_ctr=64)
+    run2 = shard_verify_v2(bv2, mesh)
+    out2 = run2(jnp.asarray(clips2), jnp.asarray(nv2))
+    jax.block_until_ready(out2)
+
+    assert out2["host_packed"].shape == (n_devices, 65), (
+        "v2 packed host row must carry the evidence bytes")
+    n_crc2 = int(out2["n_crc_ok"])
+    assert n_crc2 >= n_devices, (
+        f"v2 psum-reduced CRC pass count {n_crc2} < {n_devices} clips")
+    # STRICT per-clip verdicts through the FULL host escalation ladder
+    # (futility gate -> staged SCL -> extended counters) on the sharded
+    # outputs, with the session nonce enforced per clip
+    v2_verdicts = bv2._finish_ladder(out2, nonce, True, 1 << 20)
+    failed2 = np.flatnonzero(~v2_verdicts)
+    assert failed2.size == 0, (
+        f"v2 clips {failed2.tolist()} failed AEAD verification "
+        f"(per-clip ok={np.asarray(out2['ok']).tolist()})"
+    )
+    replay2 = bv2._finish_ladder(out2, b"someone!", False, 1 << 20)
+    assert not replay2.any(), "v2 anti-replay accepted a wrong session nonce"
+
     print(f"DRYRUN_OK n_devices={n_devices} "
-          f"verdicts={verdicts.astype(int).tolist()} n_crc_ok={n_crc_ok}")
+          f"verdicts={verdicts.astype(int).tolist()} n_crc_ok={n_crc_ok} "
+          f"v2_verdicts={v2_verdicts.astype(int).tolist()} "
+          f"v2_n_crc_ok={n_crc2}")
 
 
 if __name__ == "__main__":

@@ -90,8 +90,11 @@ def test_monitor_441k_capture_per_profile(key32):
 def test_batch_monitor_serving_tier(key32):
     """BatchStreamMonitor: all completed windows verify in ONE dispatch.
 
-    Serving-tier semantics (VERDICT r2 stretch): events carry
-    stage='batch', and anti-replay is the caller's expected_nonce hook.
+    Serving-tier semantics (VERDICT r2 stretch): anti-replay is the
+    caller's expected_nonce hook.  Accepted events carry the accepting
+    rung's per-clip detail -- session nonce, frame counter, stage --
+    so a monitoring deployment can tell WHICH session authenticated
+    without re-running the single-clip tier (VERDICT r3 weak #7).
     """
     from echoseal_tpu.models.monitor import BatchStreamMonitor
     from echoseal_tpu.models.robust import RobustEmbedder
@@ -109,7 +112,15 @@ def test_batch_monitor_serving_tier(key32):
     events += mon.flush()
     assert len(events) >= 4
     assert all(ev.result.authentic for ev in events)
-    assert all(ev.result.stage == "batch" for ev in events)
+    # accepted events name the accepting rung and the TX session
+    assert all(ev.result.stage in ("hard", "scl", "ext_ctr")
+               for ev in events)
+    assert all(ev.result.session_nonce == b"monitorA" for ev in events)
+    # frame counters advance with stream time across windows (the batch
+    # tier reports the best candidate row's frame, anywhere in-window,
+    # so only coarse monotonicity is pinned: last window > first)
+    ctrs = [ev.result.frame_ctr for ev in events]
+    assert None not in ctrs and ctrs[-1] > ctrs[0] >= 0
     starts = [ev.t_start for ev in events[:-1]]
     assert starts == pytest.approx(
         [2.0 * k for k in range(len(starts))], abs=1e-6)

@@ -228,6 +228,107 @@ def test_robust_batch_timescale_recovery(key32, v2_batch, monkeypatch):
     assert bv.verify_batch_recover(clips, nv).all()
 
 
+def test_recover_composes_with_fs_in_ingest(key32, monkeypatch):
+    """``verify_batch_recover(fs_in=44100)``: ingest + speed recovery.
+
+    A 44.1 kHz capture that was ALSO played ~3% fast previously needed a
+    host resample before the recovery call (VERDICT r3 weak #6).  Now
+    the device ingest converts the batch once, the scan/retry ladder
+    runs on the 48 kHz device timeline, and the host-fallback resample
+    (if a factor lands outside the compiled +-5% family) corrects
+    straight from the 44.1 kHz clips in one composed polyphase pass.
+    T_in = 240844 lands the ingest output exactly on the 1<<18 width the
+    recovery fixtures compile.
+    """
+    from scipy.signal import resample_poly
+
+    import echoseal_tpu.models.robust as robust_mod
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+    from echoseal_tpu.models.robust import RobustEmbedder
+    from echoseal_tpu.utils import channels
+
+    class _FixedSecrets:
+        @staticmethod
+        def token_bytes(n: int) -> bytes:
+            return bytes(range(1, n + 1))
+
+    monkeypatch.setattr(robust_mod, "secrets", _FixedSecrets)
+
+    T = int(3.5 * FS)
+    T_in = 240_844
+    host = (0.15 * np.sin(2 * np.pi * 700 * np.arange(T) / FS)
+            ).astype(np.float32)
+    wm = RobustEmbedder(key32).process(host)
+    clips = np.zeros((2, T_in), np.float32)
+    nv = np.zeros(2, np.int32)
+    for i, f in enumerate((1.031, 0.978)):      # off the scan grid
+        y = channels.time_scale(wm, f)          # wrong playback speed...
+        cap = resample_poly(y.astype(np.float64), 147, 160).astype(
+            np.float32)                          # ...captured at 44.1 kHz
+        L = min(cap.size, T_in)
+        clips[i, :L] = cap[:L]
+        nv[i] = L
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    assert not bv.verify_batch(clips, nv, fs_in=44_100).any()
+    assert bv.verify_batch_recover(clips, nv, fs_in=44_100).all()
+
+
+def test_recover_defers_escalation_for_unscaled_clips(key32, v2_batch):
+    """``verify_batch_recover`` verdict-matches ``verify_batch`` on a
+    batch with NO time-scaled clips.
+
+    The round-4 restructure moved SCL/extended-counter escalation BEHIND
+    the scale scan (a scaled batch burned ~20 s of undecodable list
+    decoding before the scan even ran); clips the scan cannot place must
+    still be rescued by the deferred escalation against the same device
+    outputs -- including SCL-only rows (mp3-sim / AWGN) -- and the
+    headerless noise row must stay rejected and futility-gated.
+    """
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    clips, nv = v2_batch
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    v = bv.verify_batch_recover(clips, nv)
+    assert v.tolist() == [True, True, True, False]
+
+
+def test_payload_rate_knob_roundtrip(key32):
+    """payload_k=360 (the AEAD-envelope floor) round-trips end to end.
+
+    The noise-capacity frontier's rate axis (benchmarks/awgn_envelope.py
+    --rates, VERDICT r3 next #6): a lower-rate Polar(1024, 360) spec
+    carries the same sealed blob with zero random padding.  Rate
+    mismatch must reject: the K=448 verifier sees the K=360 waveform as
+    noise (different codebook), and vice versa the knob is profile-
+    scoped, so compat stays pinned at the wire format's K=448.
+    """
+    import pytest as _pytest
+
+    from echoseal_tpu.core.profiles import WaveformProfile
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+    from echoseal_tpu.models.robust import RobustEmbedder
+
+    lr = WaveformProfile("robust8lr", oversample=8,
+                         standard_info_set=True, payload_k=360)
+    T = int(3.5 * FS)
+    Tpad = 1 << 18
+    wm = RobustEmbedder(key32, profile=lr).process(np.zeros(T, np.float32))
+    clips = np.zeros((1, Tpad), np.float32)
+    clips[0, :T] = wm
+    nv = np.full(1, T, np.int32)
+    assert RobustBatchVerifier(key32, max_ctr=4096,
+                               profile=lr).verify_batch(clips, nv).all()
+    assert not RobustBatchVerifier(key32, max_ctr=4096).verify_batch(
+        clips, nv).any()
+    # the knob validates its own envelope floor and compat immutability
+    with _pytest.raises(ValueError):
+        WaveformProfile("bad", oversample=8, standard_info_set=True,
+                        payload_k=232)
+    with _pytest.raises(ValueError):
+        WaveformProfile("bad", oversample=1, standard_info_set=False,
+                        payload_k=360)
+
+
 def test_batch_verify_past_pn_table_ceiling(key32):
     """A clip cut past the device PN table (ctr >= 2**16) still verifies.
 
@@ -295,6 +396,108 @@ def test_scl_deep_seg_override_parity(key32, monkeypatch):
     np.testing.assert_allclose(
         np.minimum(np.asarray(outs[0]["metrics"]), 1e29),
         np.minimum(np.asarray(outs[1]["metrics"]), 1e29), rtol=0, atol=0)
+
+
+def test_v2_shard_map_verify_multidevice(key32, v2_batch):
+    """Sharded v2 (flagship-tier) verify over the 8-virtual-device mesh.
+
+    Mirrors parallel/dryrun.py's v2 leg (VERDICT r3 Missing #2): clips
+    split over the streams axis, tables replicated, psum CRC count --
+    then the FULL host escalation ladder (futility gate -> staged SCL
+    -> extended counters) runs unchanged on the sharded outputs with
+    strict per-clip verdicts, including the no-watermark rejection.
+    """
+    import jax
+
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+    from echoseal_tpu.parallel.mesh import shard_verify_v2, streams_mesh
+
+    clips, nv = v2_batch
+    clips8 = np.concatenate([clips, clips])      # 8 rows = 1 per device
+    nv8 = np.concatenate([nv, nv])
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    run = shard_verify_v2(bv, streams_mesh())
+    out = run(clips8, nv8)
+    jax.block_until_ready(out)
+    assert out["host_packed"].shape == (8, 65)   # evidence bytes shipped
+    v = bv._finish_ladder(out, None, True, 1 << 20)
+    assert v.tolist() == [True, True, True, False] * 2
+
+
+def test_futility_gate_skips_headerless_clips(key32, v2_batch, monkeypatch):
+    """Clips with no readable header never enter the escalation ladder.
+
+    Serving clips are mid-stream cuts: the frame counter comes from the
+    16-bit header, so a clip where NO candidate row reads a header
+    cannot be rescued by SCL escalation or the extended-counter pass
+    (both decode against a counter-derived PN).  The gate makes
+    rejection cost ~the hard pass alone (VERDICT r3 weak #2: 30+ s of
+    pure waste per 1k hopeless clips).  Calibration:
+    benchmarks/ladder_profile.json -- every escalation-rescued clip had
+    a readable header (rescued hdr_frac 1.0); best-row |LLR| does NOT
+    separate the populations, so the q-floor valve is off by default.
+    """
+    import echoseal_tpu.models.pipeline as pl
+
+    clips, nv = v2_batch
+    bv = pl.RobustBatchVerifier(key32, max_ctr=4096)
+
+    seen_pending: list[np.ndarray] = []
+    orig = pl.RobustBatchVerifier._scl_fallback
+
+    def spy(self, out, pending, expected_nonce, details=None):
+        seen_pending.append(pending.copy())
+        return orig(self, out, pending, expected_nonce, details=details)
+
+    monkeypatch.setattr(pl.RobustBatchVerifier, "_scl_fallback", spy)
+    v = bv.verify_batch(clips, nv)
+    assert v.tolist() == [True, True, True, False]
+    # the SCL fallback ran (rows 1/2 need it) but the headerless noise
+    # row was gated out of every escalation dispatch
+    assert seen_pending and all(not p[3] for p in seen_pending)
+
+    # a batch of pure noise must skip the ladder entirely: no SCL call
+    seen_pending.clear()
+    rng = np.random.default_rng(7)
+    noise = (0.05 * rng.standard_normal(clips.shape)).astype(np.float32)
+    assert not bv.verify_batch(noise, nv).any()
+    assert seen_pending == []
+
+
+def test_staged_scl_ladder_verdict_parity(key32, v2_batch, monkeypatch):
+    """L=8->32 staged SCL fallback verdict-matches the fixed-L decode.
+
+    Rescue is a disjunction over (row, L) attempts whose final rung is
+    the configured list size, so staging can only grow the rescue set;
+    accepts stay AEAD-gated.  Pinned here by running the same batch
+    with the ladder disabled (fixed L only).
+    """
+    import echoseal_tpu.models.pipeline as pl
+
+    clips, nv = v2_batch
+    bv = pl.RobustBatchVerifier(key32, max_ctr=4096)
+    staged = bv.verify_batch(clips, nv)
+    monkeypatch.setattr(pl, "SCL_LADDER", ())
+    fixed = bv.verify_batch(clips, nv)
+    assert staged.tolist() == fixed.tolist() == [True, True, True, False]
+
+
+def test_parse_evidence_compat_width():
+    """Compat-width (60-byte) host rows parse as 'always has evidence'.
+
+    The monitor and retry paths can hand `_finish_ladder` rows without
+    the v2 evidence bytes; the gate must fail OPEN (never drop a clip
+    for lack of instrumentation).
+    """
+    from types import SimpleNamespace
+
+    from echoseal_tpu.core.profiles import ROBUST, profile_spec
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    fake = SimpleNamespace(_spec=profile_spec(ROBUST))
+    raw = np.zeros((3, 60), np.uint8)
+    hdr, q = RobustBatchVerifier._parse_evidence(fake, raw)
+    assert hdr.all() and np.isinf(q).all()
 
 
 def test_robust_batch_past_pn_table_ceiling(key32):
