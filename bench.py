@@ -80,6 +80,12 @@ def _run_bench() -> None:
     import jax.numpy as jnp
 
     from echoseal_tpu.core.params import FRAME_LEN
+    from echoseal_tpu.utils.cache import enable_persistent_cache
+
+    # every backend, not just CPU: persistence is a no-op where the PJRT
+    # plugin can't serialize executables, and saves the multi-minute
+    # SCL/v2 compiles per process where it can (VERDICT r3 Missing #3)
+    enable_persistent_cache()
 
     key = bytes.fromhex("aa" * 32)
     fs = 48_000

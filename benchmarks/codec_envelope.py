@@ -1,16 +1,20 @@
-"""Measured v2 + compat envelope through REAL codecs (stdlib audioop).
+"""Measured v2 + compat envelope through REAL codecs.
 
 The reference claims MP3-128k survival but ships no codec test
-(reference README.md:163; SURVEY.md §6); this image has no ffmpeg/lame/
-sox, so until round 3 the codec row was a windowed-DFT simulation
-(utils/channels.codec_sim).  audioop gives us the real thing for three
-codec classes -- G.711 mu-law / A-law (8-bit logarithmic companding,
-the telephony/VoIP trunk codecs) and IMA ADPCM (4-bit adaptive
-differential) -- plus a real third-party rate converter
-(``audioop.ratecv``).  This script measures single-clip accept rates
-through each actual encode->decode round-trip and writes
-``codec_envelope.json``, the artifact behind tests/test_codecs.py's
-pinned verdicts.
+(reference README.md:163; SURVEY.md §6).  This script measures
+single-clip accept rates through actual encode->decode round-trips and
+writes ``codec_envelope.json``, the artifact behind
+tests/test_codecs.py's pinned verdicts.  Codec classes:
+
+* G.711 mu-law / A-law (8-bit logarithmic companding, the telephony/
+  VoIP trunk codecs) and IMA ADPCM (4-bit adaptive differential) via
+  stdlib ``audioop``;
+* MPEG-1 Audio Layer II at 64/128/192 kbps via the in-repo codec
+  (utils/mpeg1.py: 32-band polyphase + psychoacoustic bit allocation +
+  serialized bitstream) -- the REAL perceptual-transform class behind
+  the reference's MP3 claim, replacing the round-3 windowed-DFT
+  simulation row;
+* a real third-party rate converter (``audioop.ratecv``).
 
 Usage: python benchmarks/codec_envelope.py [--out FILE] [--platform cpu]
 """
@@ -36,9 +40,12 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        from echoseal_tpu.utils.cache import enable_persistent_cache
 
-        enable_persistent_cache()
+    # every backend (VERDICT r3 Missing #3): persistence is a no-op
+    # where the PJRT plugin cannot serialize executables
+    from echoseal_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import numpy as np
 
@@ -58,20 +65,25 @@ def main() -> None:
         "ulaw": channels.codec_ulaw,
         "alaw": channels.codec_alaw,
         "adpcm": channels.codec_adpcm,
+        # REAL perceptual transform codec (in-repo MPEG-1 Layer II,
+        # utils/mpeg1.py): the claim class the reference names
+        "mpeg1_l2@128k": lambda x: channels.codec_mpeg1_l2(x, 128),
+        "mpeg1_l2@192k": lambda x: channels.codec_mpeg1_l2(x, 192),
+        "mpeg1_l2@64k": lambda x: channels.codec_mpeg1_l2(x, 64),
     }
 
     def sweep(make_clip, verify, label):
         rows = {}
         for name, fn in codecs.items():
-            acc, rej_wrong = [], []
+            acc, wrong_acc = [], []
             for k in range(args.draws):
                 clip = make_clip(k)
                 y = np.ascontiguousarray(fn(clip))
                 acc.append(bool(verify(key, y)))
-                rej_wrong.append(bool(verify(wrong, y)))
+                wrong_acc.append(bool(verify(wrong, y)))
             rows[name] = {"accept": sum(acc) / len(acc),
-                          "wrong_key_accept": sum(rej_wrong) / len(acc)}
-            print(f"{label}/{name}: {rows[name]}")
+                          "wrong_key_accept": sum(wrong_acc) / len(acc)}
+            print(f"{label}/{name}: {rows[name]}", flush=True)
         return rows
 
     # ---- v2 (robust) profile: the analog-impairment carrier -------------
@@ -89,11 +101,14 @@ def main() -> None:
 
     # real rate converter: 48 kHz playback captured by a 44.1 kHz clock
     # (audioop.ratecv linear interpolation, NOT our polyphase resampler)
-    acc = []
+    acc, wrong_acc = [], []
     for k in range(args.draws):
         y = channels.codec_ratecv(v2_clip(k), fs, 44_100)
         acc.append(bool(RobustVerifier(key).verify(y, 44_100)))
-    v2_rows["ratecv_44k1_capture"] = {"accept": sum(acc) / len(acc)}
+        wrong_acc.append(bool(RobustVerifier(wrong).verify(y, 44_100)))
+    v2_rows["ratecv_44k1_capture"] = {
+        "accept": sum(acc) / len(acc),
+        "wrong_key_accept": sum(wrong_acc) / len(acc)}
     print(f"v2/ratecv_44k1_capture: {v2_rows['ratecv_44k1_capture']}")
 
     # ---- compat profile: digitally-clean carrier through 8-bit trunks ---

@@ -54,6 +54,12 @@ def main(argv=None) -> int:
     if len(key) != 32:
         raise SystemExit("key must be 256-bit (64 hex chars)")
 
+    # amortize compiles across CLI invocations (VERDICT r3 Missing #3):
+    # a no-op where the backend cannot serialize executables
+    from echoseal_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.profile == "v2":
         from echoseal_tpu.models.robust import RobustEmbedder
 
