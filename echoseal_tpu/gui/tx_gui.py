@@ -15,7 +15,14 @@ import numpy as np
 def load_key(text: str) -> bytes:
     from echoseal_tpu.cli.tx_app import load_key as _lk
 
-    key = _lk(text)
+    try:
+        key = _lk(text)
+    except SystemExit as e:
+        # the CLI loader exits the process on a bad key -- correct for a
+        # command line, fatal for a GUI: a typo in the key field must
+        # surface in the status label, not kill the window (caught by
+        # tests/test_gui.py; the GUI handlers catch Exception only)
+        raise ValueError(str(e)) from e
     if len(key) != 32:
         raise ValueError("key must be 32 bytes (64 hex chars)")
     return key
