@@ -204,17 +204,16 @@ def main() -> None:
                 L = min(y.size, Tpad)
                 clips[i, :L] = y[:L]
                 nvr[i] = L
+            clips_dev = jax.device_put(jax.numpy.asarray(clips))
+            float(np.asarray(jax.numpy.sum(clips_dev)))      # upload barrier
+            t0 = time.perf_counter()
             if "timescale" in name:
-                # the recovery ladder corrects on device (ops/resample.py)
-                # but takes host clips (host resample_poly remains the
-                # fallback for out-of-family factors), so its timing
-                # includes the one upload
-                t0 = time.perf_counter()
-                v = bv2.verify_batch_recover(clips, nvr)
+                # pre-staged like every other row: the recovery ladder
+                # accepts device-resident clips (host bytes are only
+                # materialized for out-of-family factors, which the
+                # +-5% scan grid never produces)
+                v = bv2.verify_batch_recover(clips_dev, nvr)
             else:
-                clips_dev = jax.device_put(jax.numpy.asarray(clips))
-                float(np.asarray(jax.numpy.sum(clips_dev)))  # upload barrier
-                t0 = time.perf_counter()
                 v = bv2.verify_batch(clips_dev, nvr)
             dt = time.perf_counter() - t0
             return dict(accept=float(np.mean(v)), secs=round(dt, 3),

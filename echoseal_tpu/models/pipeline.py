@@ -810,6 +810,16 @@ class RobustBatchVerifier(BatchVerifier):
         outside the compiled +-5% device family) corrects straight from
         the original-rate host clips in ONE polyphase pass
         (up = fs, down = round(fs_in * factor)).
+
+        ``clips`` may be DEVICE-resident (a ``jax.Array``, e.g. from
+        ``jax.device_put`` by a serving loop that stages batches ahead):
+        the whole recovery ladder then runs without the ~740 MB/1k-batch
+        host upload this call otherwise pays over the tunneled backend
+        -- measured, that upload was the majority of the timescale
+        serving row's wall time.  Host bytes are materialized lazily
+        (one download) only if some recovered factor falls OUTSIDE the
+        compiled +-5% device-resample family, which the scan grid never
+        produces on its own.
         """
         from echoseal_tpu.models.robust import (
             SCALE_SCAN_GRID,
@@ -818,17 +828,22 @@ class RobustBatchVerifier(BatchVerifier):
             scaled_template_bank,
         )
 
-        clips = np.asarray(clips, dtype=np.float32)
-        B, Tpad = clips.shape
+        dev_in = isinstance(clips, jax.Array)
+        if not dev_in:
+            clips = np.asarray(clips, dtype=np.float32)
+        B, Tpad = (int(s) for s in clips.shape)
         if n_valid is None:
             n_valid = np.full(B, Tpad, dtype=np.int32)
         n_valid = np.asarray(n_valid, dtype=np.int32)
 
-        clips_host, nv_host = clips, n_valid
+        clips_host = None if dev_in else clips
+        nv_host = n_valid
         fs_host = self.fs if fs_in is None else int(fs_in)
         if fs_in is not None and int(fs_in) != self.fs:
             clips_dev, n_valid = self._ingest(clips, n_valid, int(fs_in))
             n_valid = np.asarray(n_valid, dtype=np.int32)
+        elif dev_in:
+            clips_dev = clips.astype(jnp.float32)
         else:
             clips_dev = jnp.asarray(clips)
         out = self.run_device(clips_dev, n_valid)
@@ -904,11 +919,41 @@ class RobustBatchVerifier(BatchVerifier):
                     continue
                 cand = float(fine)
             factors[int(i)] = cand
+        # Fallback candidate queue, consumed by the refinement rounds
+        # when a failed retry yields no peak-spacing estimate (measured:
+        # benchmarks/timescale_attrib.json -- EVERY residual failure was
+        # `wrong_factor` with exactly one attempt, the scan argmax in
+        # the RECIPROCAL basin of the true correction; the retry at the
+        # wrong factor shows no peaks, the refiner abstains, the clip is
+        # lost).  Queue per clip: the reciprocal of the primary (the
+        # scan's known aliasing mode: a template stretched by r also
+        # part-correlates against a clip stretched by r), then the
+        # second-best scan factor OUTSIDE the primary's basin.
+        order = np.argsort(per, axis=1)[:, ::-1]
+        grid = np.asarray(SCALE_SCAN_GRID)
+        fallback: dict[int, list[float]] = {}
+        for pos, i in enumerate(fail):
+            f1 = factors.get(int(i))
+            if f1 is None:      # scan says unscaled: deferred escalation
+                continue        # covers it; no retry rows to feed
+            alts: list[float] = []
+            r = 1.0 / f1
+            if 0.95 <= r <= 1.05 and abs(r - f1) > 1e-4:
+                alts.append(float(r))
+            for j in order[pos][1:]:
+                f2 = float(grid[j])
+                if (abs(f2 - 1.0) > 1e-4 and abs(f2 - f1) > 0.0034
+                        and all(abs(f2 - a) > 1e-3 for a in alts)):
+                    alts.append(f2)
+                    break
+            if alts:
+                fallback[int(i)] = alts
         with Timer("pipeline.recover_retry"):
             verdicts = self._retry_scaled(clips_host, nv_host, factors,
                                           verdicts, expected_nonce,
                                           refine=2, clips_dev=clips_dev,
-                                          nv_dev=n_valid, fs_host=fs_host)
+                                          nv_dev=n_valid, fs_host=fs_host,
+                                          fallback=fallback)
         with Timer("pipeline.recover_deferred"):
             return finish_deferred(verdicts)
 
@@ -937,7 +982,9 @@ class RobustBatchVerifier(BatchVerifier):
     def _retry_scaled(self, clips, n_valid, factors: dict[int, float],
                       verdicts: np.ndarray, expected_nonce: bytes | None,
                       refine: int, clips_dev=None, nv_dev=None,
-                      fs_host: int | None = None) -> np.ndarray:
+                      fs_host: int | None = None,
+                      fallback: dict[int, list[float]] | None = None,
+                      tried: dict[int, set] | None = None) -> np.ndarray:
         """Group-resample ``factors`` clips, re-verify, optionally refine.
 
         With ``clips_dev`` (the already-uploaded clip batch), the
@@ -972,10 +1019,12 @@ class RobustBatchVerifier(BatchVerifier):
         # per-clip refinement estimates that quantize to the same den
         # must share one resample dispatch (and one cached tap table)
         q = self.RETRY_UP if clips_dev is not None else self.fs
+        tried = {} if tried is None else tried
         groups: dict[int, list[int]] = {}
         rep_f: dict[int, float] = {}
         for i, f in factors.items():
             key = int(round(q * f))
+            tried.setdefault(i, set()).add(key)
             groups.setdefault(key, []).append(i)
             rep_f.setdefault(key, float(f))
 
@@ -1006,6 +1055,10 @@ class RobustBatchVerifier(BatchVerifier):
                 # straight from the original-rate host clips: the rate
                 # conversion and the speed correction compose into ONE
                 # rational polyphase pass (up=fs, down=fs_host*factor)
+                if clips is None:
+                    # device-resident caller: materialize host bytes once
+                    # (only out-of-family factors reach this branch)
+                    clips = np.asarray(clips_dev)
                 den_h = int(round(fs_host * rep_f[den]))
                 g = gcd(self.fs, den_h)
                 y = resample_poly(clips[members], self.fs // g, den_h // g,
@@ -1045,6 +1098,13 @@ class RobustBatchVerifier(BatchVerifier):
             # rounds (the single-clip ladder chains one per coarse
             # candidate; two rounds close sub-grid residuals the first
             # estimate leaves when the coarse peaks were smeared).
+            # A clip whose failed retry shows NO usable spacing estimate
+            # (wrong-basin factor -> no peaks) pulls its next fallback
+            # candidate instead of dropping out -- the attribution data
+            # (benchmarks/timescale_attrib.json) put 100% of residual
+            # failures in exactly that abstention.  ``tried`` dedupes on
+            # the retry lattice so a fallback that merely re-quantizes
+            # to an already-attempted rational is skipped.
             # one download: invalid peaks already masked to -1 on device
             peaks_all = np.asarray(jnp.where(jnp.isfinite(out["peak_val"]),
                                              out["peak_idx"], -1))
@@ -1052,13 +1112,23 @@ class RobustBatchVerifier(BatchVerifier):
             for r, i in enumerate(sel):
                 if verdicts[i]:
                     continue
+                cand = None
                 fine = estimate_timescale_from_peaks(peaks_all[r], self.span)
                 if fine is not None and abs(fine - 1.0) > 1e-4:
-                    nxt[i] = factors[i] * fine
+                    c = factors[i] * fine
+                    if int(round(q * c)) not in tried[i]:
+                        cand = c
+                while cand is None and fallback and fallback.get(i):
+                    c = fallback[i].pop(0)
+                    if int(round(q * c)) not in tried.get(i, set()):
+                        cand = c
+                if cand is not None:
+                    nxt[i] = cand
             verdicts = self._retry_scaled(clips, n_valid, nxt, verdicts,
                                           expected_nonce, refine=refine - 1,
                                           clips_dev=clips_dev, nv_dev=nv_dev,
-                                          fs_host=fs_host)
+                                          fs_host=fs_host, fallback=fallback,
+                                          tried=tried)
         return verdicts
 
     # ----------------------------------------------------------- SCL stage

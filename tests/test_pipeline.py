@@ -228,6 +228,104 @@ def test_robust_batch_timescale_recovery(key32, v2_batch, monkeypatch):
     assert bv.verify_batch_recover(clips, nv).all()
 
 
+def test_recover_reciprocal_fallback_rescues_wrong_basin(key32, monkeypatch):
+    """A scan that argmaxes the RECIPROCAL basin must still recover.
+
+    benchmarks/timescale_attrib.json (1024 scaled clips, on chip): every
+    residual recovery failure tried exactly one factor ~1/true -- the
+    scaled-template scan aliases into the reciprocal basin for a few
+    percent of clips, the retry there shows no peaks, and the refiner
+    abstains.  The fallback queue (reciprocal first) must turn those
+    into accepts.  The scan is monkeypatched to the wrong basin so the
+    mechanism is pinned deterministically, not on a lucky clip.
+    """
+    import echoseal_tpu.models.robust as robust_mod
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+    from echoseal_tpu.models.robust import SCALE_SCAN_GRID, RobustEmbedder
+    from echoseal_tpu.utils import channels
+
+    class _FixedSecrets:
+        @staticmethod
+        def token_bytes(n: int) -> bytes:
+            return bytes(range(1, n + 1))
+
+    monkeypatch.setattr(robust_mod, "secrets", _FixedSecrets)
+
+    wrong_i = SCALE_SCAN_GRID.index(0.97)   # reciprocal of true 1.031
+
+    def wrong_basin_scan(x, nv, bank):
+        s = np.zeros((x.shape[0], bank.shape[0]), np.float32)
+        s[:, 4 * wrong_i : 4 * wrong_i + 4] = 1.0
+        return s
+
+    monkeypatch.setattr(robust_mod, "_scale_scan_batch", wrong_basin_scan)
+
+    T = int(3.5 * FS)
+    Tpad = 1 << 18
+    host = (0.15 * np.sin(2 * np.pi * 700 * np.arange(T) / FS)
+            ).astype(np.float32)
+    wm = RobustEmbedder(key32).process(host)
+    y = channels.time_scale(wm, 1.031)
+    clips = np.zeros((2, Tpad), np.float32)
+    nv = np.zeros(2, np.int32)
+    for i in range(2):
+        L = min(y.size, Tpad)
+        clips[i, :L] = y[:L]
+        nv[i] = L
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    assert bv.verify_batch_recover(clips, nv).all()
+
+
+def test_recover_accepts_device_resident_clips(key32, v2_batch, monkeypatch):
+    """``verify_batch_recover`` on a ``jax.Array`` batch: no host upload.
+
+    A serving loop that stages batches on device ahead of time must get
+    identical verdicts without the ~740 MB/1k-batch host->device
+    transfer the np.ndarray path pays (the majority of the timescale
+    serving row's wall time on the tunneled backend).  Host bytes may
+    only be materialized inside the out-of-family resample fallback --
+    exercised directly with a factor past the compiled +-5% family.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import echoseal_tpu.models.robust as robust_mod
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+    from echoseal_tpu.models.robust import RobustEmbedder
+    from echoseal_tpu.utils import channels
+
+    class _FixedSecrets:
+        @staticmethod
+        def token_bytes(n: int) -> bytes:
+            return bytes(range(1, n + 1))
+
+    monkeypatch.setattr(robust_mod, "secrets", _FixedSecrets)
+
+    T = int(3.5 * FS)
+    Tpad = 1 << 18
+    host = (0.15 * np.sin(2 * np.pi * 700 * np.arange(T) / FS)
+            ).astype(np.float32)
+    wm = RobustEmbedder(key32).process(host)
+    clips = np.zeros((2, Tpad), np.float32)
+    nv = np.zeros(2, np.int32)
+    for i, f in enumerate((1.031, 1.0)):
+        y = channels.time_scale(wm, f)
+        L = min(y.size, Tpad)
+        clips[i, :L] = y[:L]
+        nv[i] = L
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    dev = jax.device_put(jnp.asarray(clips))
+    v_dev = bv.verify_batch_recover(dev, nv)
+    assert v_dev.tolist() == bv.verify_batch_recover(clips, nv).tolist()
+    assert v_dev.all()
+
+    # lazy host materialization: out-of-family factor, clips passed None
+    v0 = np.zeros(2, bool)
+    out = bv._retry_scaled(None, nv, {0: 1.2}, v0, None, refine=0,
+                           clips_dev=dev, nv_dev=nv, fs_host=FS)
+    assert out.dtype == bool and not out[0]   # junk factor cannot accept
+
+
 def test_recover_composes_with_fs_in_ingest(key32, monkeypatch):
     """``verify_batch_recover(fs_in=44100)``: ingest + speed recovery.
 
