@@ -28,6 +28,9 @@ def parse_args(argv=None):
                    help="waveform profile: reference-compatible (default) "
                         "or robust v2 (oversampled chips; survives codecs, "
                         "loud hosts, time-scaling)")
+    p.add_argument("--payload-k", type=int, default=448, metavar="K",
+                   help="v2 payload-rate knob; must match the TX setting "
+                        "(see echoseal-tx --payload-k)")
     return p.parse_args(argv)
 
 
@@ -44,6 +47,16 @@ def main(argv=None) -> int:
     enable_persistent_cache()
     if not args.audio:
         raise SystemExit("no --audio given")
+    if args.payload_k != 448:
+        if args.profile != "v2":
+            raise SystemExit("--payload-k is a v2 knob; the compat wire "
+                             "format is fixed at K=448")
+        if args.monitor:
+            raise SystemExit("--payload-k: the streaming monitor runs at "
+                             "the default rate; verify files directly")
+    from echoseal_tpu.core.profiles import v2_profile
+
+    profile_v2 = v2_profile(args.payload_k)
 
     from echoseal_tpu.io import wavio
 
@@ -112,7 +125,8 @@ def main(argv=None) -> int:
             from echoseal_tpu.models.pipeline import RobustBatchVerifier
 
             verdicts = RobustBatchVerifier(
-                key, list_size=args.list_size).verify_batch_recover(
+                key, list_size=args.list_size,
+                profile=profile_v2).verify_batch_recover(
                 batch, np.asarray(lens, dtype=np.int32))
         else:
             verdicts = BatchVerifier(key).verify_batch(
@@ -126,7 +140,8 @@ def main(argv=None) -> int:
     if args.profile == "v2":
         from echoseal_tpu.models.robust import RobustVerifier
 
-        detector = RobustVerifier(key, list_size=args.list_size)
+        detector = RobustVerifier(key, list_size=args.list_size,
+                                  profile=profile_v2)
     else:
         from echoseal_tpu.models.detector import WatermarkDetector
 

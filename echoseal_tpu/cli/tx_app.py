@@ -42,6 +42,13 @@ def parse_args(argv=None):
     p.add_argument("--profile", choices=("compat", "v2"), default="compat",
                    help="waveform profile to embed (v2 = robust oversampled "
                         "chips, wire-incompatible with the reference)")
+    p.add_argument("--payload-k", type=int, default=448, metavar="K",
+                   help="v2 payload-rate knob: Polar(1024, K) info+CRC "
+                        "bits (default 448 = reference rate; floor 360 = "
+                        "the AEAD envelope). Lower K buys AWGN margin "
+                        "with payload rate -- the measured frontier is "
+                        "benchmarks/awgn_envelope.json rate_axis. TX and "
+                        "RX must agree on K.")
     p.add_argument("--native", action="store_true",
                    help="mix in the C ring mixer (lock-free audio callback; "
                         "frames rendered on a feeder thread)")
@@ -61,10 +68,14 @@ def main(argv=None) -> int:
     enable_persistent_cache()
 
     if args.profile == "v2":
+        from echoseal_tpu.core.profiles import v2_profile
         from echoseal_tpu.models.robust import RobustEmbedder
 
-        embedder = RobustEmbedder(key)
+        embedder = RobustEmbedder(key, profile=v2_profile(args.payload_k))
     else:
+        if args.payload_k != 448:
+            raise SystemExit("--payload-k is a v2 knob; the compat wire "
+                             "format is fixed at K=448")
         from echoseal_tpu.models.embedder import WatermarkEmbedder
 
         embedder = WatermarkEmbedder(key)

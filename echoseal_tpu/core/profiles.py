@@ -65,6 +65,20 @@ COMPAT = WaveformProfile("compat", oversample=1, standard_info_set=False)
 ROBUST = WaveformProfile("robust", oversample=8, standard_info_set=True)
 
 
+def v2_profile(payload_k: int = 448) -> WaveformProfile:
+    """ROBUST, optionally at a non-default payload rate.
+
+    The noise-capacity frontier knob (VERDICT r3 next #6): lower K buys
+    AWGN margin with payload rate -- measured in
+    benchmarks/awgn_envelope.json ``rate_axis`` (K=360 is the floor the
+    44-byte AEAD envelope + CRC-8 admits).  TX and RX must agree on K.
+    """
+    if payload_k == ROBUST.payload_k:
+        return ROBUST
+    return dataclasses.replace(ROBUST, name=f"robust-k{payload_k}",
+                               payload_k=payload_k)
+
+
 @lru_cache(maxsize=4)
 def polar_spec_standard(N: int = 1024, K: int = 448, crc_size: int = 8):
     """PolarSpec with the standard convention: info on the MOST reliable

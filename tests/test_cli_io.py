@@ -61,6 +61,49 @@ def test_cli_rejects_bad_key():
         tx_app.main(["--key", "aa" * 24])   # valid hex, wrong length
 
 
+def test_cli_payload_k_knob(tmp_path, key32, monkeypatch):
+    """--payload-k plumbs the v2 rate profile through both CLIs.
+
+    Full K=360 TX->RX roundtrips are pinned at the library level
+    (test_pipeline.py::test_payload_k_floor_roundtrip); here the CLI
+    wiring is pinned: the flag must reach the profile the verifier is
+    built with, and the compat / monitor combinations must refuse it.
+    """
+    import numpy as np
+
+    from echoseal_tpu.io import wavio
+
+    with pytest.raises(SystemExit):        # compat TX is fixed-rate
+        tx_app.main(["--key", key32.hex(), "--payload-k", "360",
+                     "--infile", "x.wav", "--outfile", "y.wav"])
+    with pytest.raises(SystemExit):        # compat RX is fixed-rate
+        rx_app.main(["--key", key32.hex(), "--payload-k", "360",
+                     "--audio", "x.wav"])
+    with pytest.raises(SystemExit):        # monitor runs at default rate
+        rx_app.main(["--key", key32.hex(), "--profile", "v2", "--monitor",
+                     "--payload-k", "360", "--audio", "x.wav"])
+
+    seen = {}
+
+    class _SpyVerifier:
+        def __init__(self, key, *, list_size, profile):
+            seen["k"] = profile.payload_k
+            seen["name"] = profile.name
+
+        def verify(self, data, fs):
+            return False
+
+    import echoseal_tpu.models.robust as robust_mod
+
+    monkeypatch.setattr(robust_mod, "RobustVerifier", _SpyVerifier)
+    wav = tmp_path / "a.wav"
+    wavio.write(str(wav), np.zeros(48_000, np.float32), FS)
+    rc = rx_app.main(["--key", key32.hex(), "--profile", "v2",
+                      "--payload-k", "360", "--audio", str(wav)])
+    assert rc == 1
+    assert seen == {"k": 360, "name": "robust-k360"}
+
+
 def test_cli_v2_profile_roundtrip(tmp_path, key32):
     """echoseal-tx --profile v2 -> echoseal-rx --profile v2 (offline WAVs)."""
     import numpy as np
