@@ -9,10 +9,18 @@ row) to attribute every final failure to a ladder stage:
 * ``no_candidate``   -- the scan argmaxed the identity AND the
   peak-spacing fine0 estimate abstained, so no retry was attempted;
 * ``correct_factor`` -- a retry ran within the demod coherence budget
-  (|f/true - 1| <= 2e-4) of the true factor and STILL failed
-  (clip-intrinsic: frame alignment / content, not estimation);
+  of the true CORRECTION and STILL failed (clip-intrinsic: frame
+  alignment / content, not estimation);
 * ``wrong_factor``   -- every retry factor was off-true; records the
   per-round factor trajectory so scan-vs-refinement blame is visible.
+
+Factor convention (pinned empirically -- tests/test_pipeline.py
+factor-direction probe, round 4): ``channels.time_scale(x, s)`` plays
+``s`` fast (length/s); the CORRECTION factor f resamples by 1/f, so the
+correct correction for an ``s``-scaled clip is f = 1/s, i.e.
+|f*s - 1| <= tol.  (An earlier revision tested |f/s - 1| -- inverted --
+which mislabeled every correct-factor failure as ``wrong_factor`` and
+spawned the round-4 'reciprocal aliasing' misdiagnosis.)
 
 The attribution drives (and afterwards documents) the accept fixes:
 whatever class dominates is the stage to repair.
@@ -126,7 +134,7 @@ def main() -> None:
         fs_tried = tried.get(int(i), [])
         if not fs_tried:
             attrib["no_candidate"].append(dict(clip=int(i)))
-        elif any(abs(f / true_f - 1.0) <= tol for f in fs_tried):
+        elif any(abs(f * true_f - 1.0) <= tol for f in fs_tried):
             attrib["correct_factor"].append(
                 dict(clip=int(i), tried=[round(f, 6) for f in fs_tried]))
         else:

@@ -56,7 +56,10 @@ def main(argv=None) -> int:
                              "the default rate; verify files directly")
     from echoseal_tpu.core.profiles import v2_profile
 
-    profile_v2 = v2_profile(args.payload_k)
+    try:
+        profile_v2 = v2_profile(args.payload_k)
+    except ValueError as e:      # curated exit, not a traceback
+        raise SystemExit(f"--payload-k: {e}")
 
     from echoseal_tpu.io import wavio
 
@@ -83,7 +86,7 @@ def main(argv=None) -> int:
             data = resample_to(48_000, data, fs)
             if args.batch:
                 # serving-tier monitor: windows verified in chunked batch
-                # dispatches (no per-window stage/ctr detail)
+                # dispatches; accepted windows carry ctr/stage detail
                 mon = BatchStreamMonitor(key, profile=args.profile,
                                          verifier=shared_bv)
             else:

@@ -71,7 +71,11 @@ def main(argv=None) -> int:
         from echoseal_tpu.core.profiles import v2_profile
         from echoseal_tpu.models.robust import RobustEmbedder
 
-        embedder = RobustEmbedder(key, profile=v2_profile(args.payload_k))
+        try:
+            profile = v2_profile(args.payload_k)
+        except ValueError as e:      # curated exit, not a traceback
+            raise SystemExit(f"--payload-k: {e}")
+        embedder = RobustEmbedder(key, profile=profile)
     else:
         if args.payload_k != 448:
             raise SystemExit("--payload-k is a v2 knob; the compat wire "

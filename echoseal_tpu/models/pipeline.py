@@ -199,6 +199,32 @@ def _llr_hard_stage(chips: jnp.ndarray, pn_sy: jnp.ndarray, spec: PolarSpec):
     return info, crc_ok
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _ext_ctr_stage(chips_all, ii, bb, pp, pn_packed, spec: PolarSpec):
+    """Device-resident extended-counter decode: gather + despread + CRC.
+
+    ``chips_all`` is the (B, 4, P, FRAME_LEN) device chip tensor the
+    verify stage already exported; ``pn_packed`` ships the per-row
+    payload PN as PACKED bits (128 B/row, MSB-first like np.packbits)
+    instead of downloading ~5 KB/row of chips to the host only to
+    re-upload them next to f32 PN symbols -- on the tunneled backend
+    that round-trip was the whole cost of the pass (measured 2.9 s of
+    a 3.3 s clip-relative-AWGN ladder, /tmp/ladder_awgn_r4 round 4).
+    Returns ONE (rows, 1 + info_len/8) uint8 host row: crc_ok | packed
+    info bits (byte layout identical to ops/polar.pack_info_bits).
+    """
+    chips = chips_all[ii, bb, pp].astype(jnp.float32)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (pn_packed[:, :, None] >> shifts) & 1
+    pn_sy = 2.0 * bits.reshape(pn_packed.shape[0], -1).astype(
+        jnp.float32) - 1.0
+    info, crc_ok = _llr_hard_stage(chips, pn_sy, spec)
+    ib = info.reshape(info.shape[0], -1, 8).astype(jnp.uint8)
+    packed = jnp.sum(ib << shifts, axis=-1).astype(jnp.uint8)
+    return jnp.concatenate(
+        [crc_ok.astype(jnp.uint8)[:, None], packed], axis=1)
+
+
 def _key_tables(sec: SecureChannel, hop, max_ctr: int):
     """Per-key device tables: payload PN bits + hop band for every counter."""
     ctrs = np.arange(max_ctr, dtype=np.int64)
@@ -476,30 +502,28 @@ class BatchVerifier:
         bb[:nr] = [r[1] for r in rows]
         pp[:nr] = [r[2] for r in rows]
         chips_dev = out["chips"].reshape(B, 4, -1, FRAME_LEN)
-        with Timer("pipeline.ext_ctr_download"):
-            chips = np.asarray(chips_dev[ii, bb, pp]).astype(
-                np.float32)[:nr]
+        # decode ON DEVICE: the chips never leave the chip.  The PN for
+        # each candidate counter ships UP as packed bits (128 B/row) and
+        # one (rows, 1+info_len/8) uint8 verdict row ships down -- the
+        # old shape downloaded ~5 KB/row of chips only to re-upload them
+        # beside f32 PN symbols (measured 2.9 s of a 3.3 s ladder on the
+        # clip-relative AWGN row, where CRC-8 flukes fan out candidates).
         ctrs = np.asarray([c for _, _, _, c in rows], dtype=np.int64)
         uniq, inv = np.unique(ctrs, return_inverse=True)
         pn = self.sec.pn_bits_batch(uniq, FRAME_LEN)[:, PRE_L + HDR_L :]
-        pn_sy = 2.0 * pn[inv].astype(np.float32) - 1.0
-
-        n = chips.shape[0]
-        pad = _cand_bucket(n) - n
-        if pad:
-            chips = np.concatenate(
-                [chips, np.zeros((pad,) + chips.shape[1:], np.float32)])
-            pn_sy = np.concatenate(
-                [pn_sy, np.ones((pad,) + pn_sy.shape[1:], np.float32)])
+        pnp = np.full((bucket, pn.shape[1] // 8), 0xFF, np.uint8)
+        pnp[:nr] = np.packbits(pn[inv].astype(np.uint8), axis=-1)
         with Timer("pipeline.ext_ctr_decode"):
-            info, crc_ok = _llr_hard_stage(jnp.asarray(chips),
-                                           jnp.asarray(pn_sy), self._spec)
-            info = np.asarray(info)[:n]
-        for r in np.flatnonzero(np.asarray(crc_ok)[:n]):
+            host_row = np.asarray(_ext_ctr_stage(
+                chips_dev, jnp.asarray(ii), jnp.asarray(bb),
+                jnp.asarray(pp), jnp.asarray(pnp), self._spec))
+        crc_ok = host_row[:nr, 0] > 0
+        info_bytes = host_row[:nr, 1:]
+        for r in np.flatnonzero(crc_ok):
             i = rows[r][0]
             if rescued[i]:
                 continue
-            nonce = self._accept_blob(pack_info_bits(info[r]),
+            nonce = self._accept_blob(info_bytes[r].tobytes(),
                                       int(ctrs[r]), expected_nonce)
             if nonce is not None:
                 rescued[i] = True
@@ -754,6 +778,16 @@ class RobustBatchVerifier(BatchVerifier):
         (host-tone leakage yields confident garbage: rejected q0 up to
         15.2 vs rescued minimum 2.3), so the optional
         ``futility_qfloor`` rescue valve is OFF (+inf) by default.
+
+        Known corner the gate gives up: a NEAR-START clip (counter
+        still resolvable via the time-estimate fallback) whose headers
+        are all noise-killed but whose payload is list-decodable.  The
+        pre-gate ladder rescued it; no cheap evidence separates it from
+        hopeless noise (the no-header band-match fires for virtually
+        any finite peak, and q does not separate -- above).  Callers
+        verifying from stream START under heavy noise should pass
+        ``futility_qfloor=0.0``: every finite-q clip escalates, at the
+        pre-gate ladder cost (tests/test_pipeline.py pins the valve).
         """
         with Timer("pipeline.v2_batch"):
             raw = np.asarray(out["host_packed"])
@@ -1040,6 +1074,9 @@ class RobustBatchVerifier(BatchVerifier):
         for den, members in groups.items():
             # the group key IS the denominator on the ``q`` lattice
             # (q == rs.up when a device batch exists, else self.fs)
+            if rs is not None and den == rs.up:
+                continue    # identity: re-verifying the same clip is a
+                            # no-op and the device resampler rejects 1.0
             if rs is not None and rs.down_min <= den <= rs.down_max:
                 # bucket the gather so the resample stage compiles once
                 # per power-of-two batch size, not per group size
@@ -1057,8 +1094,14 @@ class RobustBatchVerifier(BatchVerifier):
                 # rational polyphase pass (up=fs, down=fs_host*factor)
                 if clips is None:
                     # device-resident caller: materialize host bytes once
-                    # (only out-of-family factors reach this branch)
+                    # (only out-of-family factors reach this branch).  The
+                    # materialized rows live on the 48 kHz INGESTED device
+                    # timeline, not the fs_host capture rate -- rebase the
+                    # host-path rate and lengths or a 44.1 kHz fs_in caller
+                    # gets a spurious ~8.8% extra speed shift here.
                     clips = np.asarray(clips_dev)
+                    fs_host = self.fs
+                    n_valid = nv_dev
                 den_h = int(round(fs_host * rep_f[den]))
                 g = gcd(self.fs, den_h)
                 y = resample_poly(clips[members], self.fs // g, den_h // g,
@@ -1078,6 +1121,8 @@ class RobustBatchVerifier(BatchVerifier):
         # batch size would otherwise cost a fresh XLA compile of the v2
         # stage -- minutes each on TPU
         n_rows = len(sel)
+        if n_rows == 0:             # every group was the lattice identity
+            return verdicts
         bucket = _cand_bucket(n_rows)
         parts: list[jnp.ndarray] = list(dev_rows)
         if rows:
@@ -1116,11 +1161,18 @@ class RobustBatchVerifier(BatchVerifier):
                 fine = estimate_timescale_from_peaks(peaks_all[r], self.span)
                 if fine is not None and abs(fine - 1.0) > 1e-4:
                     c = factors[i] * fine
-                    if int(round(q * c)) not in tried[i]:
+                    # k == q is the identity on the retry lattice: a
+                    # chained estimate that cancels (f1 * fine -> ~1.0)
+                    # must fall through to the fallback queue, not
+                    # reach the resampler (which raises on factor 1.0
+                    # -- crashed the round-4 attrib run on chip)
+                    k = int(round(q * c))
+                    if k != q and k not in tried[i]:
                         cand = c
                 while cand is None and fallback and fallback.get(i):
                     c = fallback[i].pop(0)
-                    if int(round(q * c)) not in tried.get(i, set()):
+                    k = int(round(q * c))
+                    if k != q and k not in tried.get(i, set()):
                         cand = c
                 if cand is not None:
                     nxt[i] = cand

@@ -371,6 +371,88 @@ def test_recover_composes_with_fs_in_ingest(key32, monkeypatch):
     assert bv.verify_batch_recover(clips, nv, fs_in=44_100).all()
 
 
+def test_device_resident_fs_in_host_fallback_rate(key32, monkeypatch):
+    """Out-of-family host fallback on a device-resident ``fs_in`` batch.
+
+    ``_retry_scaled``'s lazily-materialized rows live on the 48 kHz
+    INGESTED device timeline, not the original capture rate: the host
+    polyphase must correct with fs=48 kHz + the ingested lengths (review
+    r4 finding: pairing the materialized 48 kHz rows with the 44.1 kHz
+    ``fs_host`` lattice applied a spurious ~8.8% extra speed shift, so
+    any device-resident 44.1 kHz clip whose recovered factor fell
+    outside the compiled +-5% device family was silently rejected).
+    Pinned by driving the host branch directly with a correction factor
+    past the device family (1.06) on a 44.1 kHz-captured clip that was
+    played 6% SLOW (time_scale 1/1.06: the spectrum shifts DOWN, so the
+    hop bands stay under the capture Nyquist; correction factor f
+    resamples by 1/f -- tests/test_pipeline.py factor-direction probe).
+    """
+    import jax
+    import jax.numpy as jnp
+    from scipy.signal import resample_poly
+
+    import echoseal_tpu.models.robust as robust_mod
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+    from echoseal_tpu.models.robust import RobustEmbedder
+
+    class _FixedSecrets:
+        @staticmethod
+        def token_bytes(n: int) -> bytes:
+            return bytes(range(1, n + 1))
+
+    monkeypatch.setattr(robust_mod, "secrets", _FixedSecrets)
+
+    T = int(3.5 * FS)
+    T_in = 240_844                 # ingest output lands exactly on 1<<18
+    host = (0.15 * np.sin(2 * np.pi * 700 * np.arange(T) / FS)
+            ).astype(np.float32)
+    wm = RobustEmbedder(key32).process(host)
+    # played 6% slow as the EXACT rational 53/50 (channels.time_scale
+    # would quantize 1/1.06 to 1000/943, a 4.2e-4 residual -- outside
+    # the demod's ~2e-4 coherence budget, which would mask this test)
+    y = resample_poly(wm.astype(np.float64), 53, 50).astype(np.float32)
+    cap = resample_poly(y.astype(np.float64), 147, 160).astype(np.float32)
+    clips = np.zeros((2, T_in), np.float32)
+    nv = np.zeros(2, np.int32)
+    L = min(cap.size, T_in)
+    clips[:, :L] = cap[:L]
+    nv[:] = L
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    dev = jax.device_put(jnp.asarray(clips))
+    clips48, nv48 = bv._ingest(dev, nv, 44_100)
+    v0 = np.zeros(2, bool)
+    out = bv._retry_scaled(None, nv, {0: 1.06}, v0, None, refine=0,
+                           clips_dev=clips48,
+                           nv_dev=np.asarray(nv48, np.int32),
+                           fs_host=44_100)
+    assert out[0], "host fallback must correct on the ingested timeline"
+
+
+def test_retry_identity_lattice_guard(key32, v2_batch):
+    """Retry factors that quantize to the lattice identity are skipped.
+
+    The round-4 chip attribution run crashed in DeviceResampler
+    ("resample factor 1.0 is the identity") when a chained refinement
+    candidate cancelled to ~1.0 (f1 * fine ~ 1) and the reciprocal
+    fallback could re-quantize there too.  An identity retry would just
+    re-verify the already-failed clip, so the candidate selection and
+    the group dispatch both skip the ``den == up`` lattice point; an
+    all-identity round returns without dispatching anything.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    clips, nv = v2_batch
+    bv = RobustBatchVerifier(key32, max_ctr=4096)
+    dev = jax.device_put(jnp.asarray(clips))
+    v0 = np.zeros(4, bool)
+    out = bv._retry_scaled(None, nv, {3: 1.0}, v0, None, refine=0,
+                           clips_dev=dev, nv_dev=nv, fs_host=FS)
+    assert not out.any()
+
+
 def test_recover_defers_escalation_for_unscaled_clips(key32, v2_batch):
     """``verify_batch_recover`` verdict-matches ``verify_batch`` on a
     batch with NO time-scaled clips.
@@ -560,6 +642,44 @@ def test_futility_gate_skips_headerless_clips(key32, v2_batch, monkeypatch):
     noise = (0.05 * rng.standard_normal(clips.shape)).astype(np.float32)
     assert not bv.verify_batch(noise, nv).any()
     assert seen_pending == []
+
+
+def test_futility_valve_escalates_headerless_clips(key32, v2_batch,
+                                                   monkeypatch):
+    """``futility_qfloor=0.0`` restores the pre-gate ladder.
+
+    The gate's one known give-up is a near-start clip whose headers are
+    all noise-killed but whose payload is still list-decodable (the
+    counter comes from the time-estimate fallback).  Evidence parsing
+    is monkeypatched to 'no header read anywhere' so the corner is
+    pinned deterministically: the default gate drops the SCL-needing
+    clips, the valve-open verifier rescues them from the SAME device
+    outputs.
+    """
+    import echoseal_tpu.models.pipeline as pl
+
+    clips, nv = v2_batch
+
+    def no_headers(self, raw):
+        n = raw.shape[0]
+        return np.zeros(n, bool), np.full(n, 1.0, np.float32)
+
+    monkeypatch.setattr(pl.RobustBatchVerifier, "_parse_evidence",
+                        no_headers)
+    gated = pl.RobustBatchVerifier(key32, max_ctr=4096)
+    # with every header masked the default gate blocks ALL escalation:
+    # the full ladder decays to the hard pass (the documented corner --
+    # rows 1/2 need SCL and are dropped)
+    hard = gated.verify_batch(clips, nv, use_scl=False)
+    # row 2 (AWGN, ~6 dB under the hard envelope) is SCL-only on every
+    # platform; rows 0/1 have rounding-adjacent hard margins, so the
+    # binding check is hard-pass equality, not a fixed verdict list
+    assert not hard[2]
+    assert gated.verify_batch(clips, nv).tolist() == hard.tolist()
+    valve = pl.RobustBatchVerifier(key32, max_ctr=4096,
+                                   futility_qfloor=0.0)
+    assert valve.verify_batch(clips, nv).tolist() == [
+        True, True, True, False]
 
 
 def test_staged_scl_ladder_verdict_parity(key32, v2_batch, monkeypatch):
