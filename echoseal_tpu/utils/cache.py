@@ -16,39 +16,51 @@ import os
 
 
 def persistent_cache_dir(base: str = "/tmp/echoseal_jax_cache") -> str:
-    """``base`` suffixed with a host-CPU-feature + XLA-config hash.
+    """``base`` suffixed with a backend-keyed configuration hash.
 
-    Besides the CPU flags and JAX version, the key includes XLA_FLAGS and
-    JAX_PLATFORMS: XLA:CPU bakes configuration-dependent target features
-    into AOT artifacts (observed: artifacts compiled under the test
-    harness's ``--xla_force_host_platform_device_count=8`` carry
+    The key is the JAX version plus the RESOLVED backend, and -- for the
+    CPU backend only -- the host CPU flags and XLA_FLAGS: XLA:CPU bakes
+    configuration-dependent target features into AOT artifacts (observed:
+    artifacts compiled under the test harness's
+    ``--xla_force_host_platform_device_count=8`` carry
     ``+prefer-no-scatter,+prefer-no-gather`` and loading them from a
     plain single-device process -- or vice versa -- logs a machine-
     feature mismatch and can mis-execute gather/scatter ops, which once
-    flipped a batch-verifier verdict mid-suite).  Separate configs must
-    not share artifact directories.
+    flipped a batch-verifier verdict mid-suite).  Separate CPU configs
+    must not share artifact directories.  Raw env vars (JAX_PLATFORMS)
+    are deliberately NOT part of the key: two processes resolving to the
+    same accelerator backend must share one cache however the platform
+    was selected, or every differently-launched process pays the full
+    multi-minute serving-ladder compile again (observed round 4).
     """
-    feat = ""
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    feat = line
-                    break
-    except OSError:
-        feat = os.uname().machine
-    feat += "|" + os.environ.get("XLA_FLAGS", "")
-    feat += "|" + os.environ.get("JAX_PLATFORMS", "")
     try:
         import jax
 
-        feat += jax.__version__
-        # the resolved backend, not just the env override: a TPU process
-        # with JAX_PLATFORMS unset must not share artifacts with a CPU
-        # one (config-dependent AOT features -- see docstring)
-        feat += "|" + jax.default_backend()
+        backend = jax.default_backend()
+        feat = jax.__version__ + "|" + backend
     except Exception:  # pragma: no cover -- jax always importable here
-        pass
+        backend = "unknown"
+        feat = "unknown"
+    # Host-CPU features and XLA_FLAGS matter ONLY for XLA:CPU artifacts:
+    # that is where AOT code bakes in the compiling host's feature set and
+    # config-dependent target features (the hazards in the docstrings).
+    # Accelerator-backend executables target the accelerator, and keying
+    # them by raw env vars was actively harmful -- a TPU process with
+    # JAX_PLATFORMS=axon set could not reuse the cache a process with it
+    # unset had spent ~20 min populating, even though both resolved to the
+    # identical backend (observed round 4: a fresh session recompiled the
+    # whole serving ladder because of exactly that env-var split).
+    if backend == "cpu":
+        cpu = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        cpu = line
+                        break
+        except OSError:
+            cpu = os.uname().machine
+        feat += "|" + cpu + "|" + os.environ.get("XLA_FLAGS", "")
     tag = hashlib.sha1(feat.encode()).hexdigest()[:10]
     return f"{base}_{tag}"
 

@@ -113,3 +113,24 @@ def test_header_bits_batch_matches_scalar():
     batch = header_bits_batch(ctrs)
     for i, c in enumerate(ctrs):
         np.testing.assert_array_equal(batch[i], header_bits(int(c)))
+
+
+def test_persistent_cache_key_ignores_platform_env(monkeypatch):
+    """Same resolved backend => same cache dir, however it was selected.
+
+    Round 4 regression: a TPU session launched with JAX_PLATFORMS=axon
+    set could not reuse the cache a JAX_PLATFORMS-unset process had spent
+    ~20 min populating.  The key must depend on the RESOLVED backend (and
+    for CPU, the host features + XLA_FLAGS), never on the raw env var.
+    """
+    from echoseal_tpu.utils.cache import persistent_cache_dir
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    a = persistent_cache_dir()
+    monkeypatch.delenv("JAX_PLATFORMS")
+    b = persistent_cache_dir()
+    assert a == b
+    # the CPU backend DOES key on XLA_FLAGS (device-count AOT hazard)
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    c = persistent_cache_dir()
+    assert c != a
