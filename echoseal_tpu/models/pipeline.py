@@ -856,6 +856,7 @@ class RobustBatchVerifier(BatchVerifier):
         produces on its own.
         """
         from echoseal_tpu.models.robust import (
+            FINE_CHAIN_MIN,
             SCALE_SCAN_GRID,
             _scale_scan_batch,
             estimate_timescale_from_peaks,
@@ -949,7 +950,7 @@ class RobustBatchVerifier(BatchVerifier):
             cand = float(f[pos])
             if abs(cand - 1.0) <= 1e-4:
                 fine = estimate_timescale_from_peaks(peaks0[i], self.span)
-                if fine is None or abs(fine - 1.0) <= 1e-4:
+                if fine is None or abs(fine - 1.0) <= FINE_CHAIN_MIN:
                     continue
                 cand = float(fine)
             factors[int(i)] = cand
@@ -1038,7 +1039,10 @@ class RobustBatchVerifier(BatchVerifier):
         from scipy.signal import resample_poly
 
         from echoseal_tpu.models.detector import _cand_bucket
-        from echoseal_tpu.models.robust import estimate_timescale_from_peaks
+        from echoseal_tpu.models.robust import (
+            FINE_CHAIN_MIN,
+            estimate_timescale_from_peaks,
+        )
 
         if not factors:
             return verdicts
@@ -1159,7 +1163,13 @@ class RobustBatchVerifier(BatchVerifier):
                     continue
                 cand = None
                 fine = estimate_timescale_from_peaks(peaks_all[r], self.span)
-                if fine is not None and abs(fine - 1.0) > 1e-4:
+                # threshold FINE_CHAIN_MIN, not 1e-4: a 1e-4 abstain
+                # masked the retry lattice's own quantization residual
+                # (up to ~8.3e-5 off the scan pick), losing the ~5% of
+                # clips that cannot tolerate it (models/robust.py
+                # FINE_CHAIN_MIN docstring; benchmarks/
+                # timescale_attrib.json correct_factor class)
+                if fine is not None and abs(fine - 1.0) > FINE_CHAIN_MIN:
                     c = factors[i] * fine
                     # k == q is the identity on the retry lattice: a
                     # chained estimate that cancels (f1 * fine -> ~1.0)

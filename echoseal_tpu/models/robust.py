@@ -213,6 +213,24 @@ def _scale_scan_batch(x: jnp.ndarray, n_valid: jnp.ndarray,
     return jnp.moveaxis(scores, 0, 1).reshape(B, -1)[:, :R]
 
 
+# Minimum |fine - 1| at which a chained refinement acts on the spacing
+# estimate.  This was 1e-4, which silently masked the retry lattice's own
+# quantization: for true playback factor s the best RETRY_UP=12000
+# rational can sit up to ~4e-5 off 1/s, and the SCAN grid pick up to a
+# full lattice step (~8.3e-5) off -- e.g. s=1.031: grid 0.97 leaves
+# residual +7.0e-5 while the ADJACENT lattice point 11639/12000 leaves
+# -1.6e-5.  Clips whose start phase cannot tolerate ~7e-5 of chip drift
+# then failed with the refiner abstaining (measured: 50/51 residual
+# failures in benchmarks/timescale_attrib.json had the correct coarse
+# factor tried and still lost).  2.5e-5 sits just above the spacing
+# estimator's per-clip noise floor (~1e-5: sample-quantized spacings at
+# k>=4 frame baselines, median over >=2 ratios) so near-zero residuals
+# rarely spawn spurious retries, while every masked lattice residual is
+# actionable; retries are deduped on the lattice and bounded by the
+# refinement depth, so the worst case is one extra bucketed re-verify.
+FINE_CHAIN_MIN = 2.5e-5
+
+
 def estimate_timescale_from_peaks(peaks: np.ndarray | None,
                                   span: int) -> float | None:
     """Modal scale ratio from same-band sync-peak spacings.
@@ -404,7 +422,7 @@ class RobustVerifier:
                            timescale=r.timescale, ctr=r.frame_ctr)
                 return r
             fine = self._estimate_timescale(r.peaks)
-            if fine is not None and abs(fine - 1.0) > 1e-4:
+            if fine is not None and abs(fine - 1.0) > FINE_CHAIN_MIN:
                 f2 = round(f * fine, 6)
                 if f2 not in tried:
                     tried.add(f2)
@@ -419,7 +437,7 @@ class RobustVerifier:
     def _correction_candidates(self, signal: np.ndarray, res0):
         """Lazy coarse correction factors for the recovery ladder."""
         fine0 = self._estimate_timescale(res0.peaks)
-        if fine0 is not None and abs(fine0 - 1.0) > 1e-4:
+        if fine0 is not None and abs(fine0 - 1.0) > FINE_CHAIN_MIN:
             yield fine0
         for f in self.timescale_grid:
             if f != 1.0:

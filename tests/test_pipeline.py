@@ -276,6 +276,60 @@ def test_recover_reciprocal_fallback_rescues_wrong_basin(key32, monkeypatch):
     assert bv.verify_batch_recover(clips, nv).all()
 
 
+def test_refine_chains_sub_1e4_lattice_residual(key32, monkeypatch):
+    """A spacing estimate INSIDE the old 1e-4 abstain window must chain.
+
+    For true playback 1.031 the scan picks grid 0.97 (den 11640 on the
+    RETRY_UP=12000 lattice, residual +7.0e-5); the correct next
+    candidate is the ADJACENT lattice point 11639/12000 (residual
+    -1.6e-5).  The old 1e-4 refinement threshold abstained on every
+    such estimate -- masking the lattice's own quantization -- and the
+    ~5% of clips that cannot tolerate the residual were lost
+    (benchmarks/timescale_attrib.json `correct_factor` class, 50/51 of
+    residual failures on chip).  run_device/_finish_ladder are stubbed
+    to always-fail so the lattice walk is pinned deterministically,
+    not on decode luck.
+    """
+    import jax.numpy as jnp
+
+    import echoseal_tpu.models.robust as robust_mod
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    bv = RobustBatchVerifier(key32, max_ctr=256)
+    Tpad = 1 << 17
+    clips = np.zeros((1, Tpad), np.float32)
+    nv = np.full(1, Tpad, np.int32)
+    dev = jnp.asarray(clips)
+
+    monkeypatch.setattr(robust_mod, "estimate_timescale_from_peaks",
+                        lambda peaks, span: 1.0 - 7.0e-5)
+
+    def fake_run_device(batch, nv2):
+        B = int(np.shape(batch)[0])
+        return {"peak_val": jnp.ones((B, 4, bv.peaks)),
+                "peak_idx": jnp.zeros((B, 4, bv.peaks), jnp.int32)}
+
+    monkeypatch.setattr(bv, "run_device", fake_run_device)
+    monkeypatch.setattr(bv, "_finish_ladder",
+                        lambda *a, **k: np.zeros(1, bool))
+
+    calls: list[list[int]] = []
+    orig = RobustBatchVerifier._retry_scaled
+
+    def spy(self, c, n, factors, *a, **k):
+        calls.append(sorted(int(round(self.RETRY_UP * f))
+                            for f in factors.values()))
+        return orig(self, c, n, factors, *a, **k)
+
+    monkeypatch.setattr(RobustBatchVerifier, "_retry_scaled", spy)
+    bv._retry_scaled(clips, nv, {0: 0.97}, np.zeros(1, bool), None,
+                     refine=2, clips_dev=dev, nv_dev=nv)
+    assert calls[0] == [11640]
+    # the refinement round must walk to the adjacent lattice point
+    # instead of abstaining (old behavior: calls == [[11640]])
+    assert 11639 in [k for ks in calls[1:] for k in ks]
+
+
 def test_recover_accepts_device_resident_clips(key32, v2_batch, monkeypatch):
     """``verify_batch_recover`` on a ``jax.Array`` batch: no host upload.
 
