@@ -266,7 +266,8 @@ def _resolve_counters(hdr_ok, lo16, ctr_est, hop_table, band_ids, max_ctr):
     return ctr, hdr_resolved | jnp.any(match_nohdr, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("peaks", "span", "spec"))
+@functools.partial(jax.jit,
+                   static_argnames=("peaks", "span", "spec", "sync_dtype"))
 def _batch_verify_stage_v2(
     x: jnp.ndarray,           # (B, Tpad) float32 clips, zero padded
     n_valid: jnp.ndarray,     # (B,) int32 true lengths
@@ -279,6 +280,7 @@ def _batch_verify_stage_v2(
     peaks: int,
     span: int,
     spec: PolarSpec,
+    sync_dtype=jnp.bfloat16,
 ):
     """One-dispatch v2 (oversampled-profile) batch verification.
 
@@ -291,11 +293,13 @@ def _batch_verify_stage_v2(
     """
     B, T = x.shape
 
-    # bf16 sync: the 504-tap conv over the whole padded batch dominates
-    # the v2 stage (measured on chip); scores only rank/gate peak
-    # positions, so the MXU-native precision is free accuracy-wise
+    # bf16 sync by default: the 504-tap conv over the whole padded batch
+    # dominates the v2 stage (measured on chip); scores only rank/gate
+    # peak positions, so the MXU-native precision is free accuracy-wise.
+    # ``sync_dtype`` exists so precision-sensitivity experiments (e.g.
+    # the timescale-residual attribution) can flip it without editing.
     corr = demod.normalized_xcorr(x, templates,
-                                  compute_dtype=jnp.bfloat16)  # (B, 4, Tc)
+                                  compute_dtype=sync_dtype)  # (B, 4, Tc)
     lag = jnp.arange(corr.shape[-1])
     corr = jnp.where(lag[None, None, :] <= (n_valid[:, None, None] - span),
                      corr, -jnp.inf)
@@ -619,6 +623,7 @@ class RobustBatchVerifier(BatchVerifier):
                  max_ctr: int = DEFAULT_MAX_CTR, peaks: int = 4,
                  list_size: int = 32, profile=None,
                  table_dtype: str | None = None,
+                 sync_dtype: str | None = None,
                  accept_legacy_plaintext: bool = False,
                  futility_qfloor: float | None = None) -> None:
         from echoseal_tpu.core.profiles import ROBUST, profile_spec
@@ -650,13 +655,17 @@ class RobustBatchVerifier(BatchVerifier):
             for lo, hi in BAND_PLAN
         ])
         self._m_stack = jnp.asarray(m, dtype=resolve_table_dtype(table_dtype))
+        # sync-conv compute precision: bf16 (MXU-native) unless overridden
+        self._sync_dtype = (jnp.bfloat16 if sync_dtype in (None, "bf16")
+                            else jnp.float32)
         self._pre_sy = jnp.asarray(bits_to_bpsk(mls63()))
         self._hdr_pn_sy = jnp.asarray(bits_to_bpsk(self.sec.pn_bits(0, HDR_L)))
         self._pn_table, self._hop_table = _key_tables(
             self.sec, self._hop, max_ctr)
 
     # ------------------------------------------------------------------ API
-    def run_device(self, clips: np.ndarray, n_valid: np.ndarray | None = None):
+    def run_device(self, clips: np.ndarray, n_valid: np.ndarray | None = None,
+                   *, sync_dtype=None):
         clips = jnp.asarray(clips, dtype=jnp.float32)
         B, T = clips.shape
         if n_valid is None:
@@ -666,6 +675,7 @@ class RobustBatchVerifier(BatchVerifier):
             self._templates, self._m_stack, self._pre_sy, self._hdr_pn_sy,
             self._pn_table, self._hop_table,
             peaks=self.peaks, span=self.span, spec=self._spec,
+            sync_dtype=self._sync_dtype if sync_dtype is None else sync_dtype,
         )
 
     def verify_batch(self, clips: np.ndarray,

@@ -133,6 +133,32 @@ def test_bf16_table_storage_verdict_parity(key32, v2_batch):
     assert v16.tolist() == [True, True, True, False]
 
 
+def test_sync_dtype_knob_verdict_parity(key32, v2_batch):
+    """``sync_dtype`` (bf16 MXU sync conv vs f32) is verdict-safe here.
+
+    The v2 sync conv runs bf16 by default on TPU (the 504-tap conv over
+    the padded batch dominates the stage); ``sync_dtype="f32"`` exists
+    for precision-sensitivity attribution (the timescale-recovery
+    residual, benchmarks/timescale_attrib.json) and for the small retry
+    batches where exact peak placement matters more than conv
+    throughput.  Both settings must agree on the 4-row corpus, and the
+    per-call ``run_device(..., sync_dtype=...)`` override must not
+    disturb the constructed default.
+    """
+    import jax.numpy as jnp
+
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    clips, nv = v2_batch
+    bv = RobustBatchVerifier(key32, max_ctr=4096, sync_dtype="bf16")
+    v16 = bv.verify_batch(clips, nv)
+    assert v16.tolist() == [True, True, True, False]
+    out = bv.run_device(clips, nv, sync_dtype=jnp.float32)
+    v32 = bv._finish_ladder(out, None, True, 1 << 20)
+    assert v32.tolist() == [True, True, True, False]
+    assert bv._sync_dtype == jnp.bfloat16     # override was per-call only
+
+
 def test_v2_batch_ingest_44k1(key32, v2_batch):
     """``verify_batch(..., fs_in=44100)``: device ingest rate conversion.
 
