@@ -70,6 +70,12 @@ def main() -> None:
         "mpeg1_l2@128k": lambda x: channels.codec_mpeg1_l2(x, 128),
         "mpeg1_l2@192k": lambda x: channels.codec_mpeg1_l2(x, 192),
         "mpeg1_l2@64k": lambda x: channels.codec_mpeg1_l2(x, 64),
+        # REAL MPEG-1 Layer III (utils/mpeg1_l3.py: MDCT + alias
+        # reduction + Huffman + bit reservoir): the LITERAL "MP3
+        # 128 kbps" claim (VERDICT r4 next #2)
+        "mpeg1_l3@128k": lambda x: channels.codec_mpeg1_l3(x, 128),
+        "mpeg1_l3@192k": lambda x: channels.codec_mpeg1_l3(x, 192),
+        "mpeg1_l3@64k": lambda x: channels.codec_mpeg1_l3(x, 64),
     }
 
     def sweep(make_clip, verify, label):
@@ -99,6 +105,26 @@ def main() -> None:
 
     v2_rows = sweep(v2_clip, v2_verify, "v2")
 
+    # ---- v2 under a SPEECH host (VERDICT r4 next #3) --------------------
+    # The reference's core use case is live speech; the surrogate host
+    # (utils/channels.speech_host) is wideband and syllabically
+    # nonstationary -- the hard host class for a perceptual codec, which
+    # shapes its quantisation noise to hide under exactly this spectrum.
+    speech = channels.speech_host(T / fs + 2.0, fs,
+                                  rng=np.random.default_rng(123))
+
+    def v2_speech_clip(k):
+        # block-wise embed: the live TX path's per-block level tracking
+        # (the representative behavior for a syllabic host)
+        tx = RobustEmbedder(key)
+        tx._session_nonce = bytes([0x50 + k]) * 8
+        wm = np.concatenate([tx.process(speech[i: i + 1024])
+                             for i in range(0, speech.size, 1024)])
+        s = int(np.random.default_rng(30 + k).integers(0, wm.size - T))
+        return wm[s : s + T]
+
+    v2_speech_rows = sweep(v2_speech_clip, v2_verify, "v2_speech")
+
     # real rate converter: 48 kHz playback captured by a 44.1 kHz clock
     # (audioop.ratecv linear interpolation, NOT our polyphase resampler)
     acc, wrong_acc = [], []
@@ -127,8 +153,11 @@ def main() -> None:
     report = {"platform": jax.default_backend(),
               "draws": args.draws, "clip_s": T / fs,
               "v2_host": "700 Hz tone, watermark ~11x below",
+              "v2_speech_host": "formant-synth speech surrogate "
+                                "(channels.speech_host, seeded)",
               "compat_host": "silence (floor-level watermark)",
-              "v2": v2_rows, "compat": compat_rows}
+              "v2": v2_rows, "v2_speech": v2_speech_rows,
+              "compat": compat_rows}
     out = json.dumps(report, indent=2)
     print(out)
     Path(args.out).write_text(out)

@@ -248,6 +248,77 @@ def main() -> None:
     guard(v2, "capture44.1k", capture_row)
     report["robust_v2(loud tone host)"] = v2
 
+    # ---------------- robust v2 under a SPEECH host ------------------------
+    # VERDICT r4 next #3: the reference's core use case is live speech
+    # (README.md:8-10), yet every committed robustness row before round 5
+    # used a tone or silence host.  Same batch geometry and clip widths
+    # as the tone section, so these rows reuse every compiled shape; the
+    # host is the reproducible formant-synth surrogate
+    # (utils/channels.speech_host).
+    speech = (channels.speech_host(12.0, fs,
+                                   rng=np.random.default_rng(77))
+              ).astype(np.float32)
+    # streaming block-wise embed: the reference's live TX path calls
+    # process() once per ~21 ms PortAudio block, so the watermark level
+    # tracks the syllabic envelope -- the representative TX behavior for
+    # a nonstationary host (a single whole-signal process() call would
+    # flat-scale the watermark against the GLOBAL rms instead)
+    tx_sp = RobustEmbedder(key)
+    stream_sp = np.concatenate(
+        [tx_sp.process(speech[i: i + 1024])
+         for i in range(0, speech.size, 1024)])
+    starts_sp = rng.integers(0, stream_sp.size - T, size=B)
+    base_sp = np.stack([stream_sp[s: s + T] for s in starts_sp])
+    # the REAL Layer III codec is host-side compute (~1.5 s/s of audio
+    # on this image's single core), so its row runs on a sub-batch;
+    # accept statistics over 128 draws, throughput still the serving
+    # dispatch.  The SIM row keeps the full batch (documented HARSHER
+    # than any real codec on a broadband host: per-bin noise with no
+    # masking model -- tests/test_robust.py pins the envelope break).
+    B_l3 = min(B, 128)
+    impair_sp = dict(impair)
+    impair_sp["mp3-128k(l3-real)"] = (
+        lambda x: channels.codec_mpeg1_l3(x, 128)[: x.size])
+    v2sp: dict = {}
+    for name in ("clean", "mp3-128k(l3-real)", "mp3-128k(sim)",
+                 "reverb(6dB,150ms)", "timescale+3.1%"):
+        f = impair_sp[name]
+        Brow = B_l3 if "l3-real" in name else B
+
+        def sp_row(name=name, f=f, Brow=Brow):
+            clips = np.zeros((B, Tpad), dtype=np.float32)
+            nvr = np.zeros(B, dtype=np.int32)
+            for i in range(Brow):
+                y = f(base_sp[i].copy())
+                L = min(y.size, Tpad)
+                clips[i, :L] = y[:L]
+                nvr[i] = L
+            clips_dev = jax.device_put(jax.numpy.asarray(clips))
+            float(np.asarray(jax.numpy.sum(clips_dev)))    # upload barrier
+            t0 = time.perf_counter()
+            if "timescale" in name:
+                v = bv2.verify_batch_recover(clips_dev, nvr)
+            else:
+                v = bv2.verify_batch(clips_dev, nvr)
+            dt = time.perf_counter() - t0
+            real = nvr > 0
+            return dict(accept=float(np.mean(v[real])), n=int(Brow),
+                        secs=round(dt, 3),
+                        audio_sec_per_sec=round(Brow * T / fs / dt, 1))
+
+        guard(v2sp, name, sp_row)
+
+    # wrong-key gate on the speech-host stream: accept must be 0.0
+    def sp_wrong_key():
+        bad = RobustBatchVerifier(bytes.fromhex("07" * 32))
+        clips = np.zeros((B, Tpad), dtype=np.float32)
+        clips[:, :T] = base_sp[:, :T]
+        v = bad.verify_batch(jax.device_put(jax.numpy.asarray(clips)), nv2)
+        return dict(accept=float(np.mean(v)))
+
+    guard(v2sp, "wrong-key", sp_wrong_key)
+    report["robust_v2(speech host)"] = v2sp
+
     out = json.dumps(report, indent=2)
     print(out)
     if args.out:

@@ -61,13 +61,17 @@ def channel_llr(bits: np.ndarray, sigma: float, rng) -> np.ndarray:
     return (2.0 * y / (sigma * sigma)).astype(np.float32)
 
 
-def run_ours(payloads, llr, spec, list_size: int):
+def run_ours(payloads, llr, spec, list_size: int, serving: bool = False):
     import jax.numpy as jnp
 
-    from echoseal_tpu.ops.scl import scl_decode
+    from echoseal_tpu.ops.scl import _scl_decode_unrolled, scl_decode
 
     t0 = time.perf_counter()
-    out = scl_decode(jnp.asarray(llr), spec, list_size)
+    if serving:
+        out = _scl_decode_unrolled(jnp.asarray(llr), spec, list_size,
+                                   serving=True)
+    else:
+        out = scl_decode(jnp.asarray(llr), spec, list_size)
     ok = np.asarray(out["crc_ok"])
     info = np.asarray(out["info_bits"])
     wall = time.perf_counter() - t0
@@ -137,6 +141,62 @@ def main() -> None:
         print(f"[ours] L={L}: " + " ".join(
             f"{s}:{row[str(s)]['fer']:.3f}" for s in SIGMAS), flush=True)
 
+    # ---- serving (fast-SSCL, non-parity) FER vs the exact decoder ------
+    # The batch ladder swaps in scl_decode_serving (VERDICT r4 next #4);
+    # its acceptance contract is FER, so the sweep pins serving FER at or
+    # under the exact decoder's across the grid, on BOTH shipped specs
+    # (the ladder runs the v2 standard-convention spec; the compat spec
+    # rows guard the general formulation).
+    from echoseal_tpu.core.profiles import ROBUST, profile_spec
+    from echoseal_tpu.ops.polar import encode_np
+
+    spec_v2 = profile_spec(ROBUST)
+    bits_v2 = np.stack([encode_np(p, spec_v2) for p in payloads])
+    llr_v2_by_sigma = {s: channel_llr(bits_v2, s, np.random.default_rng(
+        2000 + int(s * 10))) for s in SIGMAS}
+    serving_lists = (8, 32) if args.quick else (8, 32, 256)
+    report["serving"] = {}
+    serving_checks = []
+    for spec_name, sp, llr_map, exact_rows in (
+            ("compat", spec, llr_by_sigma, report["ours"]),
+            ("v2", spec_v2, llr_v2_by_sigma, None)):
+        sec = {}
+        for L in serving_lists:
+            row = {}
+            exact_row = (exact_rows or {}).get(f"L{L}")
+            for s in SIGMAS:
+                n_ok, _ = run_ours(payloads, llr_map[s], sp, L,
+                                   serving=True)
+                fer = round(1 - n_ok / our_frames, 4)
+                row[str(s)] = {"fer": fer, "n": our_frames}
+                if exact_row is None:
+                    n_ok_e, _ = run_ours(payloads, llr_map[s], sp, L)
+                    exact_fer = round(1 - n_ok_e / our_frames, 4)
+                    row[str(s)]["exact_fer"] = exact_fer
+                else:
+                    exact_fer = exact_row[str(s)]["fer"]
+                slack = 2.0 * np.sqrt(
+                    max(exact_fer * (1 - exact_fer), 0.25 / our_frames)
+                    / our_frames)
+                serving_checks.append({
+                    "spec": spec_name, "L": L, "sigma": s,
+                    "serving": fer, "exact": exact_fer,
+                    "ok": bool(fer <= exact_fer + slack)})
+            # steady-state serving throughput at this (spec, L)
+            t_best = np.inf
+            for _ in range(3):
+                _, wall = run_ours(payloads, llr_map[0.5], sp, L,
+                                   serving=True)
+                t_best = min(t_best, wall)
+            row["decodes_per_sec"] = round(our_frames / t_best, 1)
+            sec[f"L{L}"] = row
+            print(f"[serving/{spec_name}] L={L}: " + " ".join(
+                f"{s}:{row[str(s)]['fer']:.3f}" for s in SIGMAS),
+                flush=True)
+        report["serving"][spec_name] = sec
+    report["serving_checks"] = serving_checks
+    report["serving_ok"] = all(c["ok"] for c in serving_checks)
+
     if not args.skip_reference:
         for L, plan in ref_plan.items():
             row = {}
@@ -163,6 +223,7 @@ def main() -> None:
 
     Path(args.out).write_text(json.dumps(report, indent=2))
     print(json.dumps({"parity_ok": report["parity_ok"],
+                      "serving_ok": report["serving_ok"],
                       "throughput": report["throughput"]}))
 
 

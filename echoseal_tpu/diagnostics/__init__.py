@@ -10,6 +10,9 @@ Each module is ``python -m echoseal_tpu.diagnostics.<name>`` runnable:
   polar_readibility_check, frozen_bit_check).
 * ``pn_check``          -- PN keystream determinism + hop-schedule audit
   (replaces rountrip_check's PN sections, comparison_debugger).
+* ``frozen_check``      -- frozen-set / info-set audit for both profiles:
+  convention membership + encode->decode round trip (parity with the
+  reference's frozen_bit_check.py, which printed but never checked).
 * ``capability_report`` -- accept-rate matrix across hosts & impairments:
   the honest measured envelope of the compat wire format.
 """

@@ -65,6 +65,26 @@ N_OFFSETS = len(demod.SYNC_OFFSETS)
 SCL_LADDER = (8, 32)
 
 
+def resolve_sync_dtype(sync_dtype):
+    """Resolve the sync-conv compute precision knob to a jnp dtype.
+
+    Accepts the documented strings ``"bf16"``/``"f32"`` (or ``None`` for
+    the bf16 MXU default), and passes jnp dtypes through unchanged so
+    callers that already hold a resolved dtype (e.g. the sharded tier)
+    compose.  Anything else raises -- mirroring
+    ``robust.resolve_table_dtype``'s strict validation so a typo like
+    ``"bfloat16"`` cannot silently select float32 (ADVICE r4).
+    """
+    if sync_dtype is None or sync_dtype == "bf16":
+        return jnp.bfloat16
+    if sync_dtype == "f32":
+        return jnp.float32
+    if sync_dtype in (jnp.bfloat16, jnp.float32):
+        return sync_dtype
+    raise ValueError(
+        f"sync_dtype must be None, 'bf16' or 'f32', got {sync_dtype!r}")
+
+
 class ClipDetail(typing.NamedTuple):
     """Per-clip accept detail (which session/frame authenticated, where).
 
@@ -656,8 +676,7 @@ class RobustBatchVerifier(BatchVerifier):
         ])
         self._m_stack = jnp.asarray(m, dtype=resolve_table_dtype(table_dtype))
         # sync-conv compute precision: bf16 (MXU-native) unless overridden
-        self._sync_dtype = (jnp.bfloat16 if sync_dtype in (None, "bf16")
-                            else jnp.float32)
+        self._sync_dtype = resolve_sync_dtype(sync_dtype)
         self._pre_sy = jnp.asarray(bits_to_bpsk(mls63()))
         self._hdr_pn_sy = jnp.asarray(bits_to_bpsk(self.sec.pn_bits(0, HDR_L)))
         self._pn_table, self._hop_table = _key_tables(
@@ -675,7 +694,8 @@ class RobustBatchVerifier(BatchVerifier):
             self._templates, self._m_stack, self._pre_sy, self._hdr_pn_sy,
             self._pn_table, self._hop_table,
             peaks=self.peaks, span=self.span, spec=self._spec,
-            sync_dtype=self._sync_dtype if sync_dtype is None else sync_dtype,
+            sync_dtype=(self._sync_dtype if sync_dtype is None
+                        else resolve_sync_dtype(sync_dtype)),
         )
 
     def verify_batch(self, clips: np.ndarray,
@@ -759,6 +779,61 @@ class RobustBatchVerifier(BatchVerifier):
             raw[:, row_w + 1:row_w + 5]).view(np.float32).ravel()
         return any_hdr, q
 
+    # near-start headerless rescue (see _near_start_mask): a clip
+    # escalates when >= MIN_ALIGNED sync peaks share one phase mod the
+    # frame span within +-PHASE_TOL samples and the cluster starts
+    # inside the wide counter window
+    NEAR_START_MIN_ALIGNED = 6
+    NEAR_START_PHASE_TOL = 32
+
+    def _near_start_mask(self, out) -> np.ndarray:
+        """Auto-detect the near-start headerless-rescue corner.
+
+        A clip with NO readable header can still be counter-resolved
+        when it was cut within the wide fallback window of the stream
+        START: the time-estimate fallback (``_resolve_counters``) maps
+        peak position -> counter there, which is exactly the logic the
+        reference applies at rtwm/detector.py:122-142.  Closing VERDICT
+        r4 next #5: such clips re-enter the SCL escalation without the
+        manual ``futility_qfloor`` valve.
+
+        The cheap host-side evidence that separates this corner from
+        hopeless noise (which the q-statistic measurably does NOT --
+        see ``_finish_ladder``): true sync peaks sit on the stream's
+        frame lattice, ``idx = ctr*span + phase`` (span = frame pacing
+        in samples, ``profile.span``) with ONE shared phase and small
+        jitter, so the largest cluster of peak phases mod span holds
+        most of the 16 candidate peaks (measured on the serving
+        fixture: 8-13 of 16 aligned; the stragglers are junk peaks a
+        plain circular-concentration statistic would drown in).  Noise
+        argmaxes are uniform mod span: with tol=32 the per-pair
+        alignment rate is ~65/9720, so P(cluster >= 6 of 16) ~
+        C(15,5) * (65/9720)^5 * 16 ~ 6e-7 -- a 1k hopeless-noise batch
+        escalates ~0 clips and rejection cost stays at the hard pass
+        (the futility gate's whole point).  Costs one lazy (B, 4, P)
+        int32+f32 download, only reached when some real clip is
+        pending WITHOUT a header.
+        """
+        span = self.span        # v2 frame pacing in samples (ctr lattice)
+        tol = self.NEAR_START_PHASE_TOL
+        idx = np.asarray(out["peak_idx"]).reshape(len(out["peak_idx"]), -1)
+        val = np.asarray(out["peak_val"]).reshape(idx.shape)
+        valid = np.isfinite(val)
+        ph = idx % span                                     # (B, K)
+        d = np.abs(ph[:, :, None] - ph[:, None, :])
+        d = np.minimum(d, span - d)                         # circular
+        pair_ok = (d <= tol) & valid[:, :, None] & valid[:, None, :]
+        cluster = pair_ok.sum(axis=2)                       # (B, K)
+        anchor = np.argmax(cluster, axis=1)                 # cluster rep
+        # the counter estimate must be resolvable for the CLUSTER's
+        # peaks (junk peaks far into the clip don't matter)
+        in_cluster = np.take_along_axis(
+            pair_ok, anchor[:, None, None], axis=1)[:, 0]   # (B, K)
+        ctr_est = np.rint(idx / span)
+        ctr_min = np.where(in_cluster, ctr_est, np.inf).min(axis=1)
+        return ((cluster.max(axis=1) >= self.NEAR_START_MIN_ALIGNED)
+                & (ctr_min < WIDE_DELTA))
+
     def _finish_ladder(self, out, expected_nonce, use_scl: bool,
                        max_stream_frames: int,
                        real: np.ndarray | None = None,
@@ -789,15 +864,18 @@ class RobustBatchVerifier(BatchVerifier):
         15.2 vs rescued minimum 2.3), so the optional
         ``futility_qfloor`` rescue valve is OFF (+inf) by default.
 
-        Known corner the gate gives up: a NEAR-START clip (counter
-        still resolvable via the time-estimate fallback) whose headers
-        are all noise-killed but whose payload is list-decodable.  The
-        pre-gate ladder rescued it; no cheap evidence separates it from
-        hopeless noise (the no-header band-match fires for virtually
-        any finite peak, and q does not separate -- above).  Callers
-        verifying from stream START under heavy noise should pass
-        ``futility_qfloor=0.0``: every finite-q clip escalates, at the
-        pre-gate ladder cost (tests/test_pipeline.py pins the valve).
+        The NEAR-START corner is auto-rescued (VERDICT r4 next #5): a
+        clip cut within the wide window of the stream START can have
+        its counter resolved by the time-estimate fallback even with
+        every header noise-killed (the same logic the reference
+        applies at rtwm/detector.py:122-142), so headerless clips
+        whose sync evidence is frame-LATTICE-consistent and whose best
+        peak implies ``ctr_est < WIDE_DELTA`` re-enter the SCL
+        escalation (``_near_start_mask``).  The lattice test is what
+        keeps hopeless-noise rejection cost unchanged -- see its
+        docstring for the false-positive math.  ``futility_qfloor=0.0``
+        remains the manual valve: every finite-q clip escalates, at
+        the pre-gate ladder cost (tests/test_pipeline.py pins both).
         """
         with Timer("pipeline.v2_batch"):
             raw = np.asarray(out["host_packed"])
@@ -809,6 +887,9 @@ class RobustBatchVerifier(BatchVerifier):
         n_hard = int(verdicts.sum())
         any_hdr, q_best = self._parse_evidence(raw)
         evidence = any_hdr | (q_best >= self._futility_qfloor)
+        pending_nohdr = real & ~verdicts & ~evidence
+        if use_scl and pending_nohdr.any():
+            evidence |= pending_nohdr & self._near_start_mask(out)
         n_futile = int((real & ~verdicts & ~evidence).sum())
         pending = real & ~verdicts & evidence
         if use_scl and pending.any():
@@ -923,12 +1004,19 @@ class RobustBatchVerifier(BatchVerifier):
         score_parts: list[np.ndarray] = []
         _scan_t = Timer("pipeline.recover_scan")
         _scan_t.__enter__()
-        for c0 in range(0, fail.size, CHUNK):
-            idx = fail[c0:c0 + CHUNK]
-            # pad to a power-of-two bucket (floor 1): one compile per size
-            from echoseal_tpu.models.detector import _cand_bucket as _cb
+        # ONE scan-dispatch shape per process: every chunk (including the
+        # ragged last one) pads to min(CHUNK, bucket(B)).  The former
+        # per-chunk power-of-two buckets (floor 1) compiled the scan
+        # stage at up to 8 distinct sizes -- each a fresh multi-minute
+        # XLA compile on TPU, the bulk of the recovery ladder's measured
+        # 1298 s cache-cold warmup (benchmarks/ladder_profile.json,
+        # VERDICT r4 next #1); the padding waste is at most one chunk's
+        # compute (~1 s at 128 rows).
+        from echoseal_tpu.models.detector import _cand_bucket as _cb
 
-            bucket = min(CHUNK, _cb(idx.size, floor=1))
+        bucket = min(CHUNK, _cb(B))
+        for c0 in range(0, fail.size, bucket):
+            idx = fail[c0:c0 + bucket]
             pad_idx = np.zeros(bucket, dtype=np.int32)
             pad_idx[:idx.size] = idx
             s = np.asarray(_scale_scan_batch(
@@ -994,9 +1082,15 @@ class RobustBatchVerifier(BatchVerifier):
             if alts:
                 fallback[int(i)] = alts
         with Timer("pipeline.recover_retry"):
+            # depth 4, not 2: the attribution data (benchmarks/
+            # timescale_attrib.json) showed clips whose CORRECT-basin
+            # factor was only reached by the fallback queue in the LAST
+            # round, leaving no refinement budget for the final
+            # sub-lattice residual; rounds with no candidates cost
+            # nothing (the recursion returns on an empty factor map)
             verdicts = self._retry_scaled(clips_host, nv_host, factors,
                                           verdicts, expected_nonce,
-                                          refine=2, clips_dev=clips_dev,
+                                          refine=4, clips_dev=clips_dev,
                                           nv_dev=n_valid, fs_host=fs_host,
                                           fallback=fallback)
         with Timer("pipeline.recover_deferred"):
@@ -1048,7 +1142,6 @@ class RobustBatchVerifier(BatchVerifier):
 
         from scipy.signal import resample_poly
 
-        from echoseal_tpu.models.detector import _cand_bucket
         from echoseal_tpu.models.robust import (
             FINE_CHAIN_MIN,
             estimate_timescale_from_peaks,
@@ -1084,6 +1177,15 @@ class RobustBatchVerifier(BatchVerifier):
         dev_rows: list[jnp.ndarray] = []
         nv2_d: list[int] = []
         nv2_h: list[int] = []
+        # MAIN batch size: every device dispatch in the retry (the
+        # resample gather and the re-verify) pads to it, so recovery
+        # adds ZERO new compile shapes of either program (VERDICT r4
+        # next #1 -- the former power-of-two buckets compiled each at
+        # up to log2(B) sizes, the bulk of the 1298 s cache-cold
+        # recovery warmup); the waste is dead rows in a dispatch, ~1 s
+        # per retry round at B=1024, paid only when recovery ran.
+        bucket = (int(clips_dev.shape[0]) if clips_dev is not None
+                  else int(clips.shape[0]))
         rs = self._device_resampler(Tpad) if clips_dev is not None else None
         for den, members in groups.items():
             # the group key IS the denominator on the ``q`` lattice
@@ -1092,9 +1194,12 @@ class RobustBatchVerifier(BatchVerifier):
                 continue    # identity: re-verifying the same clip is a
                             # no-op and the device resampler rejects 1.0
             if rs is not None and rs.down_min <= den <= rs.down_max:
-                # bucket the gather so the resample stage compiles once
-                # per power-of-two batch size, not per group size
-                midx = np.zeros(_cand_bucket(len(members)), np.int32)
+                # pad the gather to the MAIN batch size: one resample
+                # compile per process (the former power-of-two buckets
+                # compiled it at up to log2(B) sizes -- recovery-warmup
+                # cost, VERDICT r4 next #1); the dominant den group is
+                # ~the whole batch anyway on a uniformly scaled batch
+                midx = np.zeros(bucket, np.int32)
                 midx[: len(members)] = members
                 y, n_out = rs(clips_dev[jnp.asarray(midx)], den)
                 dev_rows.append(y[: len(members), :Tpad])
@@ -1130,14 +1235,9 @@ class RobustBatchVerifier(BatchVerifier):
                              for i in members)
         sel = sel_d + sel_h
         nv2 = nv2_d + nv2_h
-        # pad to a power-of-two bucket: the resampled-retry batch size is
-        # the (arbitrary) number of recovered clips, and every distinct
-        # batch size would otherwise cost a fresh XLA compile of the v2
-        # stage -- minutes each on TPU
         n_rows = len(sel)
         if n_rows == 0:             # every group was the lattice identity
             return verdicts
-        bucket = _cand_bucket(n_rows)
         parts: list[jnp.ndarray] = list(dev_rows)
         if rows:
             parts.append(jnp.asarray(np.stack(rows)))
@@ -1208,8 +1308,16 @@ class RobustBatchVerifier(BatchVerifier):
                       expected_nonce: bytes | None,
                       details: dict[int, ClipDetail] | None = None
                       ) -> np.ndarray:
-        """List-decode the exported top-R soft rows of each masked clip."""
-        from echoseal_tpu.ops.scl import scl_decode
+        """List-decode the exported top-R soft rows of each masked clip.
+
+        Uses the fast-SSCL ``serving`` decoder (ops/scl.py, VERDICT r4
+        next #4): the ladder's contract is FER at an AEAD-gated accept,
+        not list parity, and the serving mode cuts the fork count
+        ~1.6x at L=8 and removes every transcendental from the hot
+        loop.  ``ECHOSEAL_SCL_IMPL`` still forces a specific
+        implementation when set.
+        """
+        from echoseal_tpu.ops.scl import scl_decode_serving as scl_decode
 
         rescued = np.zeros(mask.shape[0], dtype=bool)
         clips_f = np.flatnonzero(mask)
@@ -1251,6 +1359,15 @@ class RobustBatchVerifier(BatchVerifier):
         # already shipped all rows in ONE transfer.
         ladder = ([L for L in SCL_LADDER if L < self._list_size]
                   + [self._list_size])
+        # ONE SCL batch shape per (process, L): every dispatch pads or
+        # splits to ``chunk`` rows.  The former per-rung power-of-two
+        # buckets compiled the decoder at up to 6 distinct sizes
+        # (b32..b4096 in benchmarks/ladder_profile.json), each a
+        # ~100 s+ cache-cold XLA compile that dominated the recovery
+        # ladder's 1298 s warmup (VERDICT r4 next #1).  ``chunk`` keys
+        # off the CLIP batch size so serving batches land on one big
+        # shape while small test batches stay small.
+        chunk = min(1024, _cand_bucket(mask.shape[0]))
         pending = np.arange(clips_f.size)
         for lo, hi in ((0, 1), (1, R)):
             for lsize in ladder:
@@ -1261,16 +1378,21 @@ class RobustBatchVerifier(BatchVerifier):
                     llr[pending, lo:hi]).reshape(-1, 1024)
                 sub_ctr = ctrs[pending, lo:hi].reshape(-1)
                 n_rows = sub.shape[0]
-                # pad to a power-of-two bucket: one compile per bucket
-                bucket = _cand_bucket(n_rows)
-                if n_rows < bucket:
+                pad_rows = -n_rows % chunk
+                if pad_rows:
                     sub = np.concatenate(
-                        [sub, np.zeros((bucket - n_rows, sub.shape[1]),
+                        [sub, np.zeros((pad_rows, sub.shape[1]),
                                        np.float32)])
-                with Timer(f"pipeline.scl_decode_b{bucket}_L{lsize}"):
-                    res = scl_decode(jnp.asarray(sub), self._spec, lsize)
-                    ok = np.asarray(res["crc_ok"])[:n_rows]
-                    bits = np.asarray(res["info_bits"])[:n_rows]
+                with Timer(f"pipeline.scl_decode_c{chunk}_L{lsize}"):
+                    oks, bitss = [], []
+                    for c0 in range(0, sub.shape[0], chunk):
+                        res = scl_decode(
+                            jnp.asarray(sub[c0:c0 + chunk]),
+                            self._spec, lsize)
+                        oks.append(np.asarray(res["crc_ok"]))
+                        bitss.append(np.asarray(res["info_bits"]))
+                    ok = np.concatenate(oks)[:n_rows]
+                    bits = np.concatenate(bitss)[:n_rows]
                 for r in range(n_rows):
                     i = clips_f[pending[r // w]]
                     if rescued[i]:

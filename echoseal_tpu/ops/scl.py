@@ -55,6 +55,53 @@ def _penalties(leaf_llr):
     return pen0, pen1
 
 
+def _f_combine_ms(a, b):
+    """Min-sum f-combine (serving mode): -sign(a)sign(b)min(|a|,|b|).
+
+    The hardware-decoder approximation of the exact logaddexp form --
+    no transcendentals, exact when one magnitude dominates.  NOTE the
+    leading minus: this repo's LLR convention is ``positive favours
+    bit 1`` (log p1/p0), under which the exact ``_f_combine`` satisfies
+    f(4, 4) ~ -3.3 -- two confident ones XOR to a confident zero -- so
+    the textbook (log p0/p1) min-sum picks up a sign flip.  Non-parity
+    by design; FER-validated against the exact decoder on the operating
+    envelope (benchmarks/scl_sweep.json ``serving`` section).
+    """
+    return -jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+
+
+def _penalties_hard(leaf_llr):
+    """Hard-decision path-metric penalties (serving mode).
+
+    Drops the softplus term of ``_penalties``: a decision agreeing with
+    the LLR sign is free, a disagreement costs |llr| -- the metric used
+    by hardware SCL decoders, and the one under which the fast rate-1 /
+    SPC node shortcuts below are exact (Hashemi et al., "Fast and
+    Flexible Successive-Cancellation List Decoders", IEEE TSP 2017).
+    """
+    mag = jnp.abs(leaf_llr)
+    pen0 = jnp.where(leaf_llr >= 0.0, mag, 0.0)
+    pen1 = jnp.where(leaf_llr >= 0.0, 0.0, mag)
+    return pen0, pen1
+
+
+def _gf2_transform(beta: jnp.ndarray) -> jnp.ndarray:
+    """Involutive polar kernel over GF(2) on the last axis (static width).
+
+    The decoder's beta-combine is ``parent = [bl ^ br, br]``; the map
+    from a subtree's codeword (beta) back to its leaf bits (u) is that
+    same transform applied top-down (it is an involution), so rate-1 /
+    SPC node shortcuts can emit u for the whole span without walking
+    the leaves.
+    """
+    seg = beta.shape[-1]
+    if seg == 1:
+        return beta
+    h = seg // 2
+    p, q = beta[..., :h], beta[..., h:]
+    return jnp.concatenate([_gf2_transform(p ^ q), _gf2_transform(q)], -1)
+
+
 def _gather_paths(tree, parent):
     """Gather every per-path array in ``tree`` along the list axis (axis 1)."""
 
@@ -218,9 +265,10 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
     * ``_scl_decode_blocked`` -- two-level scan (cold shallow buffers
       leave the inner loop); kept for compile-time-sensitive TPU paths.
 
-    Override with ECHOSEAL_SCL_IMPL in {"unrolled", "blocked", "lazy",
-    "dense"}; any other value raises (a typo must not silently run the
-    ~13x-slower scan formulation on TPU).
+    Override with ECHOSEAL_SCL_IMPL in {"serving", "unrolled", "blocked",
+    "lazy", "dense"}; any other value raises (a typo must not silently
+    run the ~13x-slower scan formulation on TPU).  "serving" is the
+    non-parity fast-SSCL mode (see ``scl_decode_serving``).
 
     Args:
       llr: (B, N) float32, positive favours bit 1.
@@ -235,6 +283,10 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
     impl = os.environ.get("ECHOSEAL_SCL_IMPL")
     if impl is None:
         impl = "unrolled" if jax.default_backend() == "tpu" else "lazy"
+    if impl == "serving":
+        block_seg = int(os.environ.get("ECHOSEAL_SCL_BLOCK_SEG", 16))
+        return _scl_decode_unrolled(llr, spec, int(list_size), block_seg,
+                                    serving=True)
     if impl == "unrolled":
         block_seg = int(os.environ.get("ECHOSEAL_SCL_BLOCK_SEG", 16))
         return _scl_decode_unrolled(llr, spec, int(list_size), block_seg)
@@ -246,8 +298,32 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
     if impl != "lazy":
         raise ValueError(
             f"ECHOSEAL_SCL_IMPL={impl!r}: expected one of "
-            "'unrolled', 'blocked', 'lazy', 'dense'")
+            "'serving', 'unrolled', 'blocked', 'lazy', 'dense'")
     return _scl_decode_lazy(llr, spec, int(list_size))
+
+
+def scl_decode_serving(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
+    """Throughput-mode list decode for the BATCH LADDER (non-parity).
+
+    Fast-SSCL formulation (see ``_scl_decode_unrolled(serving=True)``):
+    min-sum f-combine, hard-decision path metric, rate-1 and SPC node
+    forks capped at ``min(L-1, .)``.  List contents can differ from the
+    parity decoders, so this entry is used ONLY by the serving
+    escalation ladder (models/pipeline.py), where every accept is
+    AEAD-gated and FER -- not list parity -- is the contract
+    (equivalence measured across the operating envelope in
+    benchmarks/scl_sweep.json, ``serving`` rows).  The single-clip
+    detector tier keeps the exact decoders.
+
+    ``ECHOSEAL_SCL_IMPL`` still wins when set, so an operator can force
+    the parity implementations into the ladder (or force ``serving``
+    everywhere) without code changes.
+    """
+    if os.environ.get("ECHOSEAL_SCL_IMPL") is not None:
+        return scl_decode(llr, spec, list_size)
+    block_seg = int(os.environ.get("ECHOSEAL_SCL_BLOCK_SEG", 16))
+    return _scl_decode_unrolled(llr, spec, int(list_size), block_seg,
+                                serving=True)
 
 
 @partial(jax.jit, static_argnames=("spec", "list_size"))
@@ -783,9 +859,10 @@ def _scl_decode_blocked(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
     return {"info_bits": info, "crc_ok": crc_ok, "metrics": metric}
 
 
-@partial(jax.jit, static_argnames=("spec", "list_size", "block_seg"))
+@partial(jax.jit,
+         static_argnames=("spec", "list_size", "block_seg", "serving"))
 def _scl_decode_unrolled(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
-                         block_seg: int = 16):
+                         block_seg: int = 16, serving: bool = False):
     """Statically-unrolled fast-list formulation -- TPU production path.
 
     The scan formulations pay the full fork machinery -- a (B, 2L)
@@ -823,12 +900,34 @@ def _scl_decode_unrolled(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
 
     Replaces reference fastpolar.py:254-359; results identical to the
     other formulations (tests/test_scl_proof.py parity, both specs).
+
+    ``serving=True`` switches to the NON-PARITY throughput mode
+    (VERDICT r4 next #4), replacing the reference hot loop at
+    rtwm/fastpolar.py:280-330 with the fast-SSCL formulation:
+
+    * min-sum f-combine (``_f_combine_ms``) and the hard-decision path
+      metric (``_penalties_hard``) -- no transcendentals anywhere;
+    * rate-1 (all-info) subtrees collapse to ``min(L-1, seg)``
+      least-reliable-bit forks instead of ``seg`` leaf forks, exact
+      under the hard metric (Hashemi et al. 2017, Thm. 1);
+    * SPC subtrees (frozen[0] only) collapse to a parity fix plus
+      ``min(L-1, seg-1)`` forks, each flip re-toggling the least
+      reliable bit to keep the parity constraint (ibid., Thm. 2);
+    * rate-0 / repetition shortcuts use the matching hard-metric
+      penalties.
+
+    List contents can differ from the parity decoders (different
+    metric), so serving mode is ladder-only: FER equivalence across
+    the operating envelope is measured in benchmarks/scl_sweep.json
+    (``serving`` rows) and every accept stays AEAD-gated downstream.
     """
     N, n, L = spec.N, spec.n_stages, int(list_size)
     llr = llr.astype(jnp.float32)
     B = llr.shape[0]
     root = llr[:, None, :]
     frozen = np.asarray(spec.frozen)
+    f_comb = _f_combine_ms if serving else _f_combine
+    pens = _penalties_hard if serving else _penalties
 
     ld0 = next((l for l in range(1, n + 1) if (N >> l) <= block_seg), n)
     ld0 = max(ld0, 2)
@@ -890,6 +989,29 @@ def _scl_decode_unrolled(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
         w, sh = phi >> 5, phi & 31
         S["u"] = S["u"].at[:, :, w].set(S["u"][:, :, w] | (bits << sh))
 
+    def set_u_span(pos: int, bits: jnp.ndarray) -> None:
+        """OR a whole aligned span of u bits into the packed words.
+
+        ``pos`` is span-aligned (subtree start), so a span >= 32 covers
+        whole words and a span < 32 stays inside one word; packing is
+        LSB-first to match ``set_u_bit`` and the final unpack.
+        """
+        span = bits.shape[-1]
+        if span >= 32:
+            sh = jnp.arange(32, dtype=jnp.int32)
+            words = jnp.sum(bits.reshape(B, L, span // 32, 32) << sh,
+                            axis=-1).astype(jnp.int32)
+            w0 = pos // 32
+            old = jax.lax.dynamic_slice(
+                S["u"], (0, 0, w0), (B, L, span // 32))
+            S["u"] = jax.lax.dynamic_update_slice(
+                S["u"], old | words, (0, 0, w0))
+        else:
+            sh = jnp.arange(span, dtype=jnp.int32) + (pos & 31)
+            word = jnp.sum(bits << sh, axis=-1).astype(jnp.int32)
+            w0 = pos >> 5
+            S["u"] = S["u"].at[:, :, w0].set(S["u"][:, :, w0] | word)
+
     def walk(l: int, pos: int, akey: str) -> str:
         """Decode the subtree at level ``l`` starting at leaf ``pos``.
 
@@ -903,31 +1025,118 @@ def _scl_decode_unrolled(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
         bkey = f"b{l}_{pos}"
         if fr.all():                 # exact rate-0 shortcut
             a = S.pop(akey)
-            S["metric"] = S["metric"] + jnp.sum(jax.nn.softplus(a), axis=-1)
+            pen = (jnp.maximum(a, 0.0) if serving
+                   else jax.nn.softplus(a))
+            S["metric"] = S["metric"] + jnp.sum(pen, axis=-1)
             S[bkey] = jnp.zeros((B, L, seg), jnp.int32)
             return bkey
         if l == n:                   # single info leaf
             a = S.pop(akey)[..., 0]
-            pen0, pen1 = _penalties(a)
+            pen0, pen1 = pens(a)
             bits = fork(pen0, pen1)
             set_u_bit(pos, bits)
             S[bkey] = bits[:, :, None]
             return bkey
         if fr[:-1].all() and not fr[-1]:   # exact repetition shortcut
             a = S.pop(akey)
-            soft = jnp.log1p(jnp.exp(-jnp.abs(a)))
             mag = jnp.abs(a)
-            pen_c0 = jnp.sum(soft + jnp.where(a >= 0.0, mag, 0.0), axis=-1)
-            pen_c1 = jnp.sum(soft + jnp.where(a >= 0.0, 0.0, mag), axis=-1)
+            if serving:
+                pen_c0 = jnp.sum(jnp.maximum(a, 0.0), axis=-1)
+                pen_c1 = jnp.sum(jnp.maximum(-a, 0.0), axis=-1)
+            else:
+                soft = jnp.log1p(jnp.exp(-mag))
+                pen_c0 = jnp.sum(
+                    soft + jnp.where(a >= 0.0, mag, 0.0), axis=-1)
+                pen_c1 = jnp.sum(
+                    soft + jnp.where(a >= 0.0, 0.0, mag), axis=-1)
             bits = fork(pen_c0, pen_c1)
             set_u_bit(pos + span - 1, bits)
             S[bkey] = jnp.broadcast_to(bits[:, :, None], (B, L, seg))
+            return bkey
+        if serving and not fr.any():       # fast rate-1 node (serving)
+            # hard decisions cost 0 under the hard metric; only the
+            # min(L-1, seg) least-reliable bits can profitably flip
+            # (Hashemi Thm. 1), each flip one standard 2L fork.  The
+            # alpha / sort order / flip mask ride the forks via the
+            # registry so later steps see the permuted rows.
+            a = S.pop(akey)
+            if L > 1:
+                q = min(L - 1, seg)
+                S["_fa"] = a
+                S["_ford"] = jnp.argsort(
+                    jnp.abs(a), axis=-1)[..., :q].astype(jnp.int32)
+                S["_fflip"] = jnp.zeros((B, L, seg), jnp.int32)
+                zero_pen = jnp.zeros((B, L), jnp.float32)
+                pos_ids = jnp.arange(seg, dtype=jnp.int32)
+                for t in range(q):
+                    at = jnp.take_along_axis(
+                        jnp.abs(S["_fa"]), S["_ford"][..., t : t + 1],
+                        -1)[..., 0]
+                    flips = fork(zero_pen, at)
+                    oh = (pos_ids == S["_ford"][..., t : t + 1]
+                          ).astype(jnp.int32)
+                    S["_fflip"] = S["_fflip"] ^ (flips[..., None] * oh)
+                a = S.pop("_fa")
+                flip = S.pop("_fflip")
+                del S["_ford"]
+                beta = (a > 0.0).astype(jnp.int32) ^ flip
+            else:
+                beta = (a > 0.0).astype(jnp.int32)
+            set_u_span(pos, _gf2_transform(beta))
+            S[bkey] = beta
+            return bkey
+        if serving and fr[0] and not fr[1:].any():  # fast SPC node
+            # single-parity-check: fix parity by flipping the least
+            # reliable bit, then min(L-1, seg-1) forks, each flip
+            # re-toggling that bit to hold the constraint (Hashemi
+            # Thm. 2).  pen_flip = |a_t| + (1-2*f0)|a_0| >= 0 because
+            # the order is sorted ascending.
+            a = S.pop(akey)
+            aa = jnp.abs(a)
+            hard = (a > 0.0).astype(jnp.int32)
+            par = (jnp.sum(hard, axis=-1) & 1)            # (B, L)
+            q = min(L - 1, seg - 1) if L > 1 else 0
+            order = jnp.argsort(aa, axis=-1)[..., : q + 1].astype(
+                jnp.int32)
+            a0 = jnp.take_along_axis(aa, order[..., :1], -1)[..., 0]
+            S["metric"] = S["metric"] + par.astype(jnp.float32) * a0
+            pos_ids = jnp.arange(seg, dtype=jnp.int32)
+            oh0 = (pos_ids == order[..., :1]).astype(jnp.int32)
+            flip = par[..., None] * oh0
+            if q > 0:
+                S["_fa"] = a
+                S["_ford"] = order
+                S["_fflip"] = flip
+                S["_ff0"] = par[..., None]                # (B, L, 1)
+                zero_pen = jnp.zeros((B, L), jnp.float32)
+                for t in range(1, q + 1):
+                    aa_c = jnp.abs(S["_fa"])
+                    at = jnp.take_along_axis(
+                        aa_c, S["_ford"][..., t : t + 1], -1)[..., 0]
+                    a0c = jnp.take_along_axis(
+                        aa_c, S["_ford"][..., :1], -1)[..., 0]
+                    f0 = S["_ff0"][..., 0].astype(jnp.float32)
+                    flips = fork(zero_pen, at + (1.0 - 2.0 * f0) * a0c)
+                    oht = (pos_ids == S["_ford"][..., t : t + 1]
+                           ).astype(jnp.int32)
+                    oh0c = (pos_ids == S["_ford"][..., :1]
+                            ).astype(jnp.int32)
+                    S["_fflip"] = S["_fflip"] ^ (
+                        flips[..., None] * (oht ^ oh0c))
+                    S["_ff0"] = S["_ff0"] ^ flips[..., None]
+                a = S.pop("_fa")
+                flip = S.pop("_fflip")
+                del S["_ford"], S["_ff0"]
+                hard = (a > 0.0).astype(jnp.int32)
+            beta = hard ^ flip
+            set_u_span(pos, _gf2_transform(beta))
+            S[bkey] = beta
             return bkey
         # internal node: f -> left, g -> right, combine betas
         h = seg >> 1
         a = S[akey]
         lkey = f"a{l + 1}_{pos}"
-        S[lkey] = _f_combine(a[..., :h], a[..., h:])
+        S[lkey] = f_comb(a[..., :h], a[..., h:])
         blkey = walk(l + 1, pos, lkey)
         a = S.pop(akey)              # re-read: forks may have permuted it
         rkey = f"a{l + 1}_{pos + h}"
@@ -955,7 +1164,7 @@ def _scl_decode_unrolled(llr: jnp.ndarray, spec: PolarSpec, list_size: int,
                 val = _g_combine(left, right, beta_left)
             else:
                 val = jnp.broadcast_to(
-                    _f_combine(left, right), (B, L, seg))
+                    f_comb(left, right), (B, L, seg))
             if l < hp:
                 cold_alphas[l - 1] = val
                 S["src"] = S["src"].at[:, :, l - 1].set(ident)

@@ -100,11 +100,13 @@ def shard_verify_v2(verifier, mesh: Mesh):
     peaks = verifier.peaks
     span = verifier.span
     spec = verifier._spec
+    sync_dtype = verifier._sync_dtype  # honor the precision knob when sharded
 
     def local(clips, n_valid):
         out = _batch_verify_stage_v2(
             clips, n_valid, templates, m_stack, pre_sy, hdr_pn_sy,
-            pn_table, hop_table, peaks=peaks, span=span, spec=spec)
+            pn_table, hop_table, peaks=peaks, span=span, spec=spec,
+            sync_dtype=sync_dtype)
         local_count = jnp.sum(out["crc_ok"].astype(jnp.int32))
         out["n_crc_ok"] = jax.lax.psum(local_count, STREAM_AXIS)
         return out

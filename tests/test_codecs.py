@@ -156,3 +156,78 @@ def test_compat_rejects_real_codec_gracefully(key32):
     assert WatermarkDetector(key32, list_size=16).verify(y, FS) is False
     assert WatermarkDetector(bytes.fromhex("44" * 32),
                              list_size=8).verify(y, FS) is False
+
+
+def test_mpeg1_l3_bitstream_rate_and_loss():
+    """The Layer III stream is a REAL bitstream at the stated bitrate.
+
+    Byte count equals the CBR budget exactly (the bit reservoir shifts
+    bits BETWEEN granules, never past the constant rate), and the
+    round-trip is lossy-but-close at 128 kbps.
+    """
+    from echoseal_tpu.utils.mpeg1_l3 import (DELAY, FRAME_SAMPLES, GRANULE,
+                                             decode, encode, roundtrip)
+
+    rng = np.random.default_rng(2)
+    t = np.arange(int(1.5 * FS))
+    x = (0.3 * np.sin(2 * np.pi * 440 * t / FS)
+         + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    for br in (128, 192):
+        blob = encode(x, FS, br)
+        n_frames = -(-(x.size + DELAY + GRANULE) // FRAME_SAMPLES)
+        want_bits = 60 + n_frames * (FRAME_SAMPLES * br * 1000 // FS)
+        assert len(blob) == -(-want_bits // 8)
+        y = roundtrip(x, FS, br)
+        err = y - x
+        snr = 10 * np.log10(np.mean(x**2) / np.mean(err**2))
+        assert 8.0 < snr < 80.0 and not np.array_equal(y, x)
+    with pytest.raises(ValueError):
+        bad = bytearray(encode(x[:FS], FS, 128))
+        bad[0] ^= 0xFF
+        decode(bytes(bad))
+
+
+def test_mpeg1_l3_rate_distortion_monotone():
+    """More bits -> less distortion: the rate loop is load-bearing."""
+    from echoseal_tpu.utils.mpeg1_l3 import roundtrip
+
+    rng = np.random.default_rng(3)
+    x = (0.1 * rng.standard_normal(FS)).astype(np.float32)
+    snrs = []
+    for br in (64, 128, 192):
+        y = roundtrip(x, FS, br)
+        err = y - x
+        snrs.append(10 * np.log10(np.mean(x**2) / np.mean(err**2)))
+    assert snrs[0] < snrs[1] < snrs[2]
+
+
+def test_mpeg1_l3_mdct_alias_inverse():
+    """Encoder/decoder alias rotations are exact inverses, and the
+    MDCT/IMDCT pair reconstructs (TDAC) through the granule path."""
+    from echoseal_tpu.utils.mpeg1_l3 import (_alias_reduce, _imdct_granules,
+                                             _mdct_granules)
+
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((3, 576))
+    np.testing.assert_allclose(
+        _alias_reduce(_alias_reduce(X, inverse=True), inverse=False), X,
+        atol=1e-12)
+    s = rng.standard_normal((18 * 6, 32))
+    back = _imdct_granules(_mdct_granules(s))
+    # 18-row MDCT latency; interior rows reconstruct exactly
+    np.testing.assert_allclose(back[18:-18], s[:-36], atol=1e-10)
+
+
+def test_v2_survives_mpeg1_l3_128k(key32, v2_clip):
+    """REAL MPEG-1 Layer III at 128 kbps: the reference's LITERAL claim
+    ("MP3 128 kbps", reference README.md:47,163), now an actual
+    MDCT/Huffman/bit-reservoir encode->decode round-trip."""
+    y = channels.codec_mpeg1_l3(v2_clip, 128)
+    assert RobustVerifier(key32).verify(y, FS) is True
+    assert RobustVerifier(bytes.fromhex("44" * 32)).verify(y, FS) is False
+
+
+def test_v2_survives_mpeg1_l3_64k(key32, v2_clip):
+    """Measured envelope extends to 64 kbps mono Layer III."""
+    y = channels.codec_mpeg1_l3(v2_clip, 64)
+    assert RobustVerifier(key32).verify(y, FS) is True

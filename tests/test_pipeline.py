@@ -728,13 +728,12 @@ def test_futility_valve_escalates_headerless_clips(key32, v2_batch,
                                                    monkeypatch):
     """``futility_qfloor=0.0`` restores the pre-gate ladder.
 
-    The gate's one known give-up is a near-start clip whose headers are
-    all noise-killed but whose payload is still list-decodable (the
-    counter comes from the time-estimate fallback).  Evidence parsing
-    is monkeypatched to 'no header read anywhere' so the corner is
-    pinned deterministically: the default gate drops the SCL-needing
-    clips, the valve-open verifier rescues them from the SAME device
-    outputs.
+    Evidence parsing is monkeypatched to 'no header read anywhere' AND
+    the near-start auto-rescue is disabled, so the gate's behavior
+    without either escape hatch is pinned deterministically: the
+    default gate drops the SCL-needing clips, the valve-open verifier
+    rescues them from the SAME device outputs.  (The auto-rescue path
+    itself is pinned by test_near_start_headerless_auto_rescue.)
     """
     import echoseal_tpu.models.pipeline as pl
 
@@ -746,10 +745,12 @@ def test_futility_valve_escalates_headerless_clips(key32, v2_batch,
 
     monkeypatch.setattr(pl.RobustBatchVerifier, "_parse_evidence",
                         no_headers)
+    monkeypatch.setattr(pl.RobustBatchVerifier, "_near_start_mask",
+                        lambda self, out: np.zeros(4, bool))
     gated = pl.RobustBatchVerifier(key32, max_ctr=4096)
     # with every header masked the default gate blocks ALL escalation:
-    # the full ladder decays to the hard pass (the documented corner --
-    # rows 1/2 need SCL and are dropped)
+    # the full ladder decays to the hard pass (rows 1/2 need SCL and
+    # are dropped)
     hard = gated.verify_batch(clips, nv, use_scl=False)
     # row 2 (AWGN, ~6 dB under the hard envelope) is SCL-only on every
     # platform; rows 0/1 have rounding-adjacent hard margins, so the
@@ -760,6 +761,83 @@ def test_futility_valve_escalates_headerless_clips(key32, v2_batch,
                                    futility_qfloor=0.0)
     assert valve.verify_batch(clips, nv).tolist() == [
         True, True, True, False]
+
+
+def test_near_start_headerless_auto_rescue(key32, v2_batch, monkeypatch):
+    """Headerless NEAR-START clips re-enter SCL escalation automatically.
+
+    VERDICT r4 next #5: the fixture clips start at stream t=0 (the
+    from-start, payload-decodable corner -- their counters resolve via
+    the time-estimate fallback, the reference's rtwm/detector.py:
+    122-142 logic), so when every header read is masked off the
+    frame-lattice consistency detector must route them back into the
+    SCL ladder without the manual ``futility_qfloor`` valve.  Row 2 is
+    SCL-only, so the auto-rescue is load-bearing for its accept.  The
+    hopeless-noise rejection cost stays unchanged: a pure-noise batch
+    must still never reach an SCL dispatch (spied below) -- noise
+    peak phases are uniform mod FRAME_LEN, and the Rayleigh tail puts
+    P(concentration >= 0.8 | n=16) at ~4e-5.
+    """
+    import echoseal_tpu.models.pipeline as pl
+
+    clips, nv = v2_batch
+
+    def no_headers(self, raw):
+        n = raw.shape[0]
+        return np.zeros(n, bool), np.full(n, 1.0, np.float32)
+
+    monkeypatch.setattr(pl.RobustBatchVerifier, "_parse_evidence",
+                        no_headers)
+    bv = pl.RobustBatchVerifier(key32, max_ctr=4096)
+
+    seen_pending: list[np.ndarray] = []
+    orig = pl.RobustBatchVerifier._scl_fallback
+
+    def spy(self, out, pending, expected_nonce, details=None):
+        seen_pending.append(pending.copy())
+        return orig(self, out, pending, expected_nonce, details=details)
+
+    monkeypatch.setattr(pl.RobustBatchVerifier, "_scl_fallback", spy)
+    assert bv.verify_batch(clips, nv).tolist() == [True, True, True, False]
+    # the watermarked near-start rows escalated; the no-watermark noise
+    # row never did (its peaks are off-lattice)
+    assert seen_pending and all(not p[3] for p in seen_pending)
+
+    seen_pending.clear()
+    rng = np.random.default_rng(11)
+    noise = (0.05 * rng.standard_normal(clips.shape)).astype(np.float32)
+    assert not bv.verify_batch(noise, nv).any()
+    assert seen_pending == []
+
+
+def test_near_start_mask_math():
+    """The lattice-consistency detector's three gates, on synthetic peaks.
+
+    (a) lattice-aligned near-start peaks -> escalate; (b) uniform-phase
+    noise peaks -> gated; (c) lattice-aligned but first peak past the
+    wide window (mid-stream cut can't time-resolve a counter) -> gated.
+    """
+    from echoseal_tpu.core.params import WIDE_DELTA
+    from echoseal_tpu.core.profiles import ROBUST
+    from echoseal_tpu.models.pipeline import RobustBatchVerifier
+
+    span = ROBUST.span                        # v2 frame pacing in samples
+    P = 4
+    idx = np.zeros((3, 4, P), np.int32)
+    val = np.zeros((3, 4, P), np.float32)
+    rng = np.random.default_rng(0)
+    # (a) frames 0..15 on the exact lattice, +-2 sample jitter
+    ctrs = np.arange(16).reshape(4, P)
+    idx[0] = ctrs * span + rng.integers(-2, 3, (4, P))
+    # (b) uniform random positions
+    idx[1] = rng.integers(0, 300 * span, (4, P))
+    # (c) lattice-aligned, but every counter estimate >= WIDE_DELTA
+    idx[2] = (WIDE_DELTA + ctrs) * span + rng.integers(-2, 3, (4, P))
+    out = {"peak_idx": idx, "peak_val": val}
+    bv = object.__new__(RobustBatchVerifier)  # mask needs span only
+    bv.span = span
+    mask = bv._near_start_mask(out)
+    assert mask.tolist() == [True, False, False]
 
 
 def test_staged_scl_ladder_verdict_parity(key32, v2_batch, monkeypatch):

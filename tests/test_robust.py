@@ -96,3 +96,89 @@ def test_v2_timescale_unknown_factor(key32, wm_loud_host):
 def test_v2_noise_only_rejected(key32, rng):
     noise = (0.1 * rng.standard_normal(4 * FS)).astype(np.float32)
     assert RobustVerifier(key32).verify(noise, FS) is False
+
+
+@pytest.fixture(scope="module")
+def wm_speech_host(key32):
+    """Watermark under a wideband speech-surrogate host (VERDICT r4 #3).
+
+    channels.speech_host synthesizes formant-filtered pulse-train
+    speech (pitch contours, fricative onsets, syllabic envelope) at the
+    same 0.15-ish level as the tone fixtures -- the host class the
+    reference actually targets (live speech) but never measured.
+    """
+    host = channels.speech_host(4.0, FS, rng=np.random.default_rng(42))
+    tx = RobustEmbedder(key32)
+    # block-wise embed: the live TX path calls process() per ~21 ms
+    # block, so the watermark level tracks the syllabic envelope (a
+    # single whole-signal call would flat-scale against the global rms)
+    return np.concatenate([tx.process(host[i: i + 1024])
+                           for i in range(0, host.size, 1024)])
+
+
+def test_v2_speech_host_roundtrip(key32, wm_speech_host):
+    assert RobustVerifier(key32).verify(wm_speech_host, FS) is True
+
+
+def test_v2_speech_host_mp3_128k(key32, wm_speech_host):
+    """REAL MPEG-1 Layer III at 128 kbps under the speech host.
+
+    The real codec's masking-driven bit allocation gives the watermark
+    bands bits wherever the watermark is the band's signal, so the
+    in-repo L3 codec (the literal reference claim) passes; the crude
+    ``codec_sim`` (per-bin magnitude-proportional noise, no masking
+    model) is measurably HARSHER than any real codec on a broadband
+    host and fails here even at 192 kbps -- pinned as the documented
+    envelope break in test_v2_speech_host_sim_breaks below.
+    """
+    mp3 = channels.codec_mpeg1_l3(wm_speech_host[: int(3.5 * FS)], 128)
+    assert RobustVerifier(key32).verify(mp3, FS) is True
+
+
+def test_v2_speech_host_sim_breaks(key32, wm_speech_host):
+    """Documented envelope: the windowed-DFT codec SIM over-penalises a
+    broadband host (noise in every bin proportional to host magnitude,
+    no masking allocation) and kills the watermark where a real
+    perceptual codec does not.  Measured False; if a demod improvement
+    flips this row, update the pin -- it guards the CLAIM WORDING (the
+    MP3 survival claim holds for real codecs, not for this sim on
+    speech)."""
+    sim = channels.codec_sim(wm_speech_host[: int(3.5 * FS)], 128.0)
+    assert RobustVerifier(key32).verify(sim, FS) is False
+
+
+def test_v2_speech_host_reverb(key32, wm_speech_host):
+    cap = channels.reverb(wm_speech_host, 150.0, direct_to_reverb_db=6.0,
+                          rng=np.random.default_rng(9))
+    assert RobustVerifier(key32).verify(cap, FS) is True
+
+
+def test_v2_speech_host_wrong_key(wm_speech_host):
+    assert RobustVerifier(b"\x07" * 32).verify(wm_speech_host, FS) is False
+
+
+def test_speech_host_is_speech_shaped():
+    """The surrogate is wideband, nonstationary, and level-calibrated."""
+    x = channels.speech_host(3.0, FS, rng=np.random.default_rng(1))
+    assert x.shape == (3 * FS,) and x.dtype == np.float32
+    # deterministic for a pinned rng
+    y = channels.speech_host(3.0, FS, rng=np.random.default_rng(1))
+    np.testing.assert_array_equal(x, y)
+    # active-region RMS calibrated to the requested level, then peak-
+    # normalised under the mixer headroom (speech crest factor >10 dB)
+    act = np.abs(x) > 1e-6
+    rms = float(np.sqrt(np.mean(x[act] ** 2)))
+    assert 0.05 <= rms <= 0.18
+    assert float(np.abs(x).max()) <= 0.7 + 1e-6
+    # syllabic nonstationarity: frame energies span >= 20 dB
+    fr = x[: (x.size // 4800) * 4800].reshape(-1, 4800)
+    e = np.sqrt(np.mean(fr ** 2, axis=1)) + 1e-12
+    assert 20.0 * np.log10(e.max() / (np.percentile(e, 10) + 1e-12)) > 20.0
+    # wideband: energy both below 1 kHz (voicing) and above 2 kHz
+    # (formants/fricatives), unlike any pure-tone fixture
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    f = np.fft.rfftfreq(x.size, 1.0 / FS)
+    lo = spec[(f > 80) & (f < 1000)].sum()
+    hi = spec[(f > 2000) & (f < 9000)].sum()
+    assert lo > 0 and hi > 0
+    assert hi / (lo + hi) > 0.02
