@@ -1279,7 +1279,18 @@ class RobustBatchVerifier(BatchVerifier):
                 # clips that cannot tolerate it (models/robust.py
                 # FINE_CHAIN_MIN docstring; benchmarks/
                 # timescale_attrib.json correct_factor class)
-                if fine is not None and abs(fine - 1.0) > FINE_CHAIN_MIN:
+                # upper bound 2%: a chained estimate measures the
+                # RESIDUAL after a correction was applied, so a large
+                # value is estimator junk (few/noisy spacings), not
+                # signal -- a wrong-basin retry's true residual is
+                # ~6%+, outside the estimator's own 6% gate anyway,
+                # and basin hops are the fallback queue's job.  Junk
+                # chains burned the round's retry budget on factors
+                # like 0.918 for a true 0.97 (sharded dryrun, tiny
+                # clips) while the lattice-neighbour last resort below
+                # never ran.
+                if (fine is not None
+                        and FINE_CHAIN_MIN < abs(fine - 1.0) <= 0.02):
                     c = factors[i] * fine
                     # k == q is the identity on the retry lattice: a
                     # chained estimate that cancels (f1 * fine -> ~1.0)
@@ -1294,6 +1305,21 @@ class RobustBatchVerifier(BatchVerifier):
                     k = int(round(q * c))
                     if k != q and k not in tried.get(i, set()):
                         cand = c
+                if cand is None:
+                    # last resort: the retry lattice's own quantization
+                    # neighbours of the factor just tried.  A clip can
+                    # sit a half-lattice-step (~4e-5) off its best
+                    # rational and fail there while the adjacent step
+                    # decodes (measured: the timescale_attrib
+                    # correct_factor class -- tried 0.97 for true
+                    # 1/1.031, residual 7e-5, no peak-spacing estimate
+                    # to chain from); one extra row in the bucketed
+                    # re-verify is nearly free.
+                    k0 = int(round(q * factors[i]))
+                    for k in (k0 + 1, k0 - 1):
+                        if k != q and k not in tried.get(i, set()):
+                            cand = k / q
+                            break
                 if cand is not None:
                     nxt[i] = cand
             verdicts = self._retry_scaled(clips, n_valid, nxt, verdicts,

@@ -147,10 +147,79 @@ def run(n_devices: int) -> None:
     replay2 = bv2._finish_ladder(out2, b"someone!", False, 1 << 20)
     assert not replay2.any(), "v2 anti-replay accepted a wrong session nonce"
 
+    # ---- sharded RECOVERY: the time-scale ladder's device stages ---------
+    # (VERDICT r4 next #7) scan -> resample -> re-verify, all shard_map-ed
+    # over the same streams mesh; one clip per device, every clip played
+    # +3.1% fast, every clip must come back through the sharded loop.
+    from echoseal_tpu.models.robust import SCALE_SCAN_GRID
+    from echoseal_tpu.parallel.mesh import shard_resample_v2, shard_scan_v2
+    from echoseal_tpu.utils import channels
+
+    true_s = 1.031
+    clips3 = np.zeros((n_devices, T2), dtype=np.float32)
+    nv3 = np.zeros(n_devices, dtype=np.int32)
+    for d in range(n_devices):
+        y = channels.time_scale(stream2[d * span: d * span + T2].copy(),
+                                true_s)
+        L = min(y.size, T2)
+        clips3[d, :L] = y[:L]
+        nv3[d] = L
+    out3 = run2(jnp.asarray(clips3), jnp.asarray(nv3))
+    v3 = bv2._finish_ladder(out3, nonce, True, 1 << 20)
+
+    scan_fn = shard_scan_v2(bv2, mesh)
+    scores = np.asarray(scan_fn(jnp.asarray(clips3), jnp.asarray(nv3)))
+    per = scores.reshape(n_devices, len(SCALE_SCAN_GRID), 4).max(axis=2)
+    f = np.asarray(SCALE_SCAN_GRID)[np.argmax(per, axis=1)]
+    f_med = float(np.median(f))
+    assert abs(f_med * true_s - 1.0) < 4e-3, (
+        f"sharded scan argmaxed {f_med}, want ~{1.0 / true_s:.5f}")
+
+    # per-clip correction factors (identity argmaxes fall back to the
+    # batch median), then up to 3 sharded retry rounds stepping across
+    # the scan pick's retry-lattice NEIGHBOURS.  3-frame dry-run clips
+    # carry too few sync peaks for the serving ladder's inter-peak
+    # refinement (+-2-sample jitter over a ~2-frame baseline is ~2e-4
+    # of ratio noise, larger than the sub-lattice residual being
+    # estimated), so the bracket [k, k-1, k+1] is the deterministic
+    # equivalent: the grid step is ~40 lattice steps wide, so the true
+    # rational is always within one step of the scan pick.
+    res_fn = shard_resample_v2(bv2, mesh, T2)
+    factors = np.where(np.abs(f - 1.0) <= 1e-4, f_med, f)
+    k_scan = np.round(bv2.RETRY_UP * factors).astype(np.int64)
+    recovered = v3.copy()
+    for step in (0, -1, +1):
+        dens: dict[int, list[int]] = {}
+        for d in np.flatnonzero(~recovered):
+            k = int(k_scan[d] + step)
+            if k != bv2.RETRY_UP:
+                dens.setdefault(k, []).append(d)
+        if not dens:
+            break
+        clips3r = np.zeros((n_devices, T2), dtype=np.float32)
+        nv3r = np.zeros(n_devices, dtype=np.int32)
+        for den, members in dens.items():
+            yr, n_out = res_fn(jnp.asarray(clips3), den)
+            yr_np = np.asarray(yr)
+            L = min(n_out, T2)
+            for d in members:
+                clips3r[d, :L] = yr_np[d, :L]
+                nv3r[d] = min((int(nv3[d]) * bv2.RETRY_UP) // den, L)
+        out4 = run2(jnp.asarray(clips3r), jnp.asarray(nv3r))
+        v4 = bv2._finish_ladder(out4, nonce, True, 1 << 20,
+                                real=nv3r > 0)
+        recovered |= v4
+    n_rec = int(recovered.sum())
+    assert n_rec == n_devices, (
+        f"sharded recovery lost clips "
+        f"{np.flatnonzero(~recovered).tolist()} "
+        f"(pre-scan verdicts {v3.astype(int).tolist()}, factors "
+        f"{[round(float(x), 5) for x in factors]})")
+
     print(f"DRYRUN_OK n_devices={n_devices} "
           f"verdicts={verdicts.astype(int).tolist()} n_crc_ok={n_crc_ok} "
           f"v2_verdicts={v2_verdicts.astype(int).tolist()} "
-          f"v2_n_crc_ok={n_crc2}")
+          f"v2_n_crc_ok={n_crc2} recovered={n_rec}")
 
 
 if __name__ == "__main__":

@@ -150,3 +150,72 @@ def shard_tx(mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def shard_scan_v2(verifier, mesh: Mesh):
+    """Sharded +-5% scaled-template sync scan (recovery ladder stage 1).
+
+    ``fn(clips (B, T), n_valid (B,)) -> (B, rows)`` scan scores: clips
+    split over the streams axis, the scaled template bank replicated.
+    Same scores as the unsharded ``_scale_scan_batch`` chunks in
+    ``RobustBatchVerifier.verify_batch_recover`` (VERDICT r4 next #7:
+    the recovery ladder's device stages join the mesh tier).
+    """
+    from echoseal_tpu.models.robust import (
+        _scale_scan_batch,
+        scaled_template_bank,
+    )
+
+    bank = jnp.asarray(scaled_template_bank(
+        verifier.fs, verifier.profile.oversample))
+
+    def local(clips, n_valid):
+        return _scale_scan_batch(clips, n_valid, bank)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(STREAM_AXIS), P(STREAM_AXIS)),
+        out_specs=P(STREAM_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_resample_v2(verifier, mesh: Mesh, t_in: int):
+    """Sharded device resample for the recovery retry stage.
+
+    Returns ``fn(clips (B, t_in), den: int) -> (y (B, rows), n_out)``:
+    clip rows split over the streams axis, the per-factor polyphase tap
+    plan replicated.  ``den`` is a denominator on the verifier's
+    ``RETRY_UP`` lattice, exactly as in the unsharded ``_retry_scaled``
+    path; one compile serves the whole +-5% factor family per mesh.
+    """
+    from echoseal_tpu.ops.resample import _chunk_rows, _resample_stage
+
+    rs = verifier._device_resampler(t_in)
+
+    def local(x, taps, off, s0, down, n_out):
+        return _resample_stage(
+            x, taps, off, s0, down, n_out,
+            up=rs.up, width=rs.width, n_blocks=rs.n_blocks,
+            pad_left=rs.pad_left,
+            chunk=_chunk_rows(x.shape[0], rs.n_blocks * rs.up))
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(STREAM_AXIS), P(), P(), P(), P(), P()),
+        out_specs=P(STREAM_AXIS),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def run(clips, den: int):
+        den = int(den)
+        taps_dev, off_dev, s0 = rs._plan_dev(den)
+        n_out = -(-t_in * rs.up // den)
+        y = jitted(clips, taps_dev, off_dev, jnp.int32(s0),
+                   jnp.int32(den),
+                   jnp.int32(min(n_out, rs.n_blocks * rs.up)))
+        return y, n_out
+
+    return run

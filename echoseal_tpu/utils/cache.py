@@ -60,6 +60,19 @@ def persistent_cache_dir(base: str = "/tmp/echoseal_jax_cache") -> str:
                         break
         except OSError:
             cpu = os.uname().machine
+        # ALSO key by the boot id: /proc/cpuinfo flags are the KERNEL's
+        # view and can read identically on two VMs whose LLVM-detected
+        # feature sets differ (observed round 5: a /tmp cache surviving
+        # from a previous host matched the cpuinfo-keyed dir and every
+        # AOT load logged a "+prefer-no-scatter ... not supported on the
+        # host machine" mismatch -- exactly the silent-drift hazard this
+        # key exists to prevent).  Same boot == same machine, so
+        # within-boot cross-process reuse (the whole point) is kept.
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                cpu += "|" + f.read().strip()
+        except OSError:
+            pass
         feat += "|" + cpu + "|" + os.environ.get("XLA_FLAGS", "")
     tag = hashlib.sha1(feat.encode()).hexdigest()[:10]
     return f"{base}_{tag}"
