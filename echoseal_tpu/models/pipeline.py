@@ -492,22 +492,26 @@ class BatchVerifier:
         # one download: readable headers as lo16, unreadable as -1
         lo16_or = np.asarray(jnp.where(out["hdr_ok"],
                                        out["hdr_lo16"], -1)).reshape(B, 4, -1)
-        hdr_ok = lo16_or >= 0
-        lo16 = lo16_or
-        rows: list[tuple[int, int, int, int]] = []   # (clip, band, cand, ctr)
-        for i in np.flatnonzero(mask):
-            for b in range(4):
-                for p in range(hdr_ok.shape[2]):
-                    if not hdr_ok[i, b, p]:
-                        continue
-                    base = int(lo16[i, b, p])
-                    for m in range(n_mult):
-                        c = base + (m << 16)
-                        # counters the table pass already despread are done
-                        if c < max_ctr or c >= max_stream_frames:
-                            continue
-                        if self._hop.index(c) == b:
-                            rows.append((i, b, p, c))
+        hdr_ok = (lo16_or >= 0) & mask[:, None, None]
+        # vectorised candidate fan-out (VERDICT r4 weak #7: the former
+        # quadruple Python loop enumerated clip x band x peak x
+        # multiplier rows one at a time -- fine at n_mult=16, quadratic
+        # pain on deep streams).  The remaining per-candidate host cost
+        # is the keyed HMAC hop check, batched through hop.indices.
+        ii0, bb0, pp0 = np.nonzero(hdr_ok)            # readable headers
+        base = lo16_or[ii0, bb0, pp0].astype(np.int64)
+        m = np.arange(n_mult, dtype=np.int64) << 16   # (n_mult,)
+        cand = base[:, None] + m[None, :]             # (nh, n_mult)
+        ok = (cand >= max_ctr) & (cand < max_stream_frames)
+        if ok.any():
+            band_of = self._hop.indices(cand[ok].ravel())
+            ok_flat = np.zeros(cand.shape, dtype=bool)
+            ok_flat[ok] = band_of == np.repeat(bb0, n_mult).reshape(
+                cand.shape)[ok]
+            ok = ok_flat
+        sel_r, sel_m = np.nonzero(ok)
+        rows = list(zip(ii0[sel_r].tolist(), bb0[sel_r].tolist(),
+                        pp0[sel_r].tolist(), cand[sel_r, sel_m].tolist()))
         if not rows:
             return rescued
 
