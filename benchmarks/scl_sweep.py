@@ -142,11 +142,13 @@ def main() -> None:
             f"{s}:{row[str(s)]['fer']:.3f}" for s in SIGMAS), flush=True)
 
     # ---- serving (fast-SSCL, non-parity) FER vs the exact decoder ------
-    # The batch ladder swaps in scl_decode_serving (VERDICT r4 next #4);
-    # its acceptance contract is FER, so the sweep pins serving FER at or
-    # under the exact decoder's across the grid, on BOTH shipped specs
-    # (the ladder runs the v2 standard-convention spec; the compat spec
-    # rows guard the general formulation).
+    # The fast-SSCL mode (VERDICT r4 next #4) is opt-in for the batch
+    # ladder (ECHOSEAL_SCL_SERVING=1; measured slower to run AND
+    # pathologically slower to compile on the axon backend, so the
+    # ladder defaults to the exact decoder -- ops/scl.py
+    # scl_decode_serving docstring has the numbers).  Its acceptance
+    # contract is FER, so the sweep pins serving FER at or under the
+    # exact decoder's across the grid, on BOTH shipped specs.
     from echoseal_tpu.core.profiles import ROBUST, profile_spec
     from echoseal_tpu.ops.polar import encode_np
 

@@ -1340,12 +1340,14 @@ class RobustBatchVerifier(BatchVerifier):
                       ) -> np.ndarray:
         """List-decode the exported top-R soft rows of each masked clip.
 
-        Uses the fast-SSCL ``serving`` decoder (ops/scl.py, VERDICT r4
-        next #4): the ladder's contract is FER at an AEAD-gated accept,
-        not list parity, and the serving mode cuts the fork count
-        ~1.6x at L=8 and removes every transcendental from the hot
-        loop.  ``ECHOSEAL_SCL_IMPL`` still forces a specific
-        implementation when set.
+        Decodes through ``scl_decode_serving`` (ops/scl.py): the exact
+        unrolled decoder by default -- the fast-SSCL mode built for
+        VERDICT r4 next #4 measured SLOWER on the serving backend at
+        equal FER, and its compile melts the remote-compile tunnel
+        (see that docstring for numbers) -- with ``ECHOSEAL_SCL_SERVING``
+        / ``ECHOSEAL_SCL_IMPL`` overriding.  The ladder's contract is
+        FER at an AEAD-gated accept, not list parity, so either
+        decoder is admissible here.
         """
         from echoseal_tpu.ops.scl import scl_decode_serving as scl_decode
 
@@ -1394,10 +1396,15 @@ class RobustBatchVerifier(BatchVerifier):
         # buckets compiled the decoder at up to 6 distinct sizes
         # (b32..b4096 in benchmarks/ladder_profile.json), each a
         # ~100 s+ cache-cold XLA compile that dominated the recovery
-        # ladder's 1298 s warmup (VERDICT r4 next #1).  ``chunk`` keys
-        # off the CLIP batch size so serving batches land on one big
-        # shape while small test batches stay small.
-        chunk = min(1024, _cand_bucket(mask.shape[0]))
+        # ladder's 1298 s warmup (VERDICT r4 next #1).  Cap 256, not
+        # 1024: the remote-compile service serializes requests and its
+        # cost grows superlinearly in program size (the chunk-1024
+        # ladder program took it down entirely -- RESOURCE_EXHAUSTED on
+        # every subsequent compile), a 256-row program is the measured
+        # sweet spot (compiles in the ~100 s class, L=8 dispatch ~0.2 s),
+        # and padding waste for a late rung with few pending rows is
+        # bounded at 256 rows (~3 s at L=256) instead of 1024.
+        chunk = min(256, _cand_bucket(mask.shape[0]))
         pending = np.arange(clips_f.size)
         for lo, hi in ((0, 1), (1, R)):
             for lsize in ladder:

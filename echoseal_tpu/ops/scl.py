@@ -303,27 +303,36 @@ def scl_decode(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
 
 
 def scl_decode_serving(llr: jnp.ndarray, spec: PolarSpec, list_size: int):
-    """Throughput-mode list decode for the BATCH LADDER (non-parity).
+    """List decode entry for the BATCH LADDER.
 
-    Fast-SSCL formulation (see ``_scl_decode_unrolled(serving=True)``):
-    min-sum f-combine, hard-decision path metric, rate-1 and SPC node
-    forks capped at ``min(L-1, .)``.  List contents can differ from the
-    parity decoders, so this entry is used ONLY by the serving
-    escalation ladder (models/pipeline.py), where every accept is
-    AEAD-gated and FER -- not list parity -- is the contract
-    (equivalence measured across the operating envelope in
-    benchmarks/scl_sweep.json, ``serving`` rows).  The single-clip
-    detector tier keeps the exact decoders.
+    The fast-SSCL formulation (``_scl_decode_unrolled(serving=True)``:
+    min-sum f-combine, hard-decision path metric, rate-1/SPC node forks
+    capped at ``min(L-1, .)``) is FER-equivalent to the exact decoders
+    across the operating envelope (benchmarks/scl_sweep.json ``serving``
+    rows) -- but MEASURED ON THE SERVING BACKEND it loses on both axes
+    that were supposed to justify it: steady-state throughput is equal
+    or lower (945 vs 1371 dec/s at L=8/B=256, compat spec), and its XLA
+    compile is pathological over the remote-compile tunnel (>900 s for
+    the L=8/B=256 program vs ~100 s class for the exact decoder; at
+    B=1024 the compile service dies with RESOURCE_EXHAUSTED and poisons
+    every subsequent row -- observed taking out an entire benchmark
+    suite run).  The extra per-fork registry state (_fa/_ford/_fflip
+    riding every rate-1/SPC fork gather) buys nothing the statically
+    unrolled exact decoder's frozen-leaf skipping didn't already.
 
-    ``ECHOSEAL_SCL_IMPL`` still wins when set, so an operator can force
-    the parity implementations into the ladder (or force ``serving``
-    everywhere) without code changes.
+    The ladder therefore uses the EXACT decoder by default; the
+    fast-SSCL mode stays available for backends where its tradeoff
+    lands differently: set ``ECHOSEAL_SCL_SERVING=1`` to opt in, or
+    ``ECHOSEAL_SCL_IMPL`` (which always wins) to force any specific
+    implementation everywhere.
     """
     if os.environ.get("ECHOSEAL_SCL_IMPL") is not None:
         return scl_decode(llr, spec, list_size)
-    block_seg = int(os.environ.get("ECHOSEAL_SCL_BLOCK_SEG", 16))
-    return _scl_decode_unrolled(llr, spec, int(list_size), block_seg,
-                                serving=True)
+    if os.environ.get("ECHOSEAL_SCL_SERVING"):
+        block_seg = int(os.environ.get("ECHOSEAL_SCL_BLOCK_SEG", 16))
+        return _scl_decode_unrolled(llr, spec, int(list_size), block_seg,
+                                    serving=True)
+    return scl_decode(llr, spec, list_size)
 
 
 @partial(jax.jit, static_argnames=("spec", "list_size"))
