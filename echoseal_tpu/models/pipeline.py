@@ -1251,6 +1251,14 @@ class RobustBatchVerifier(BatchVerifier):
         batch = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         nv2_arr = np.asarray(nv2, np.int32)
         out = self.run_device(batch, nv2_arr)
+        # drop THIS round's device staging buffers as soon as the stage
+        # is dispatched (the runtime keeps them alive until execution
+        # finishes): each refinement level otherwise pins its own
+        # ~1.5 GB of batch + resampled rows down the recursion, and at
+        # B=1024 x depth 4 that exhausted device memory mid-ladder
+        # (observed: RESOURCE_EXHAUSTED on the host_packed download at
+        # depth 3, poisoning every subsequent dispatch in the process)
+        del batch, parts, dev_rows
         vr = self._finish_ladder(out, expected_nonce, True, 1 << 20,
                                  real=nv2_arr > 0)
         for r, i in enumerate(sel):
@@ -1271,6 +1279,10 @@ class RobustBatchVerifier(BatchVerifier):
             # one download: invalid peaks already masked to -1 on device
             peaks_all = np.asarray(jnp.where(jnp.isfinite(out["peak_val"]),
                                              out["peak_idx"], -1))
+            # this round's stage outputs (chips + soft rows, ~200 MB at
+            # B=1024) are fully consumed now -- free them BEFORE the
+            # recursion so only one round's outputs are ever live
+            del out
             nxt: dict[int, float] = {}
             for r, i in enumerate(sel):
                 if verdicts[i]:
